@@ -1,0 +1,138 @@
+"""Configuration tree mirroring the reference's nested Settings structs.
+
+Reference: /root/reference/stark/src/core/Settings.h:10-50 (Output, Simulation,
+Execution) and /root/reference/stark/extern/symx/src/solver/solver_utils.h:173-259
+(SolverSettings/NewtonSettings with ~25 solver knobs). Implemented as plain
+dataclasses so the whole tree serializes into the run log like the reference's
+`as_string()` dump (Stark.cpp:76-77).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Tuple
+
+
+class Verbosity(Enum):
+    # Mirrors symx::Verbosity (OutputSink.h)
+    NoOutput = 0
+    Minimal = 1
+    Summary = 2
+    Medium = 3
+    Full = 4
+
+
+class LinearSolver(Enum):
+    # symx::LinearSolver (solver_utils.h:121-127)
+    DirectLLT = 0
+    BDPCG = 1
+
+
+class ProjectionToPD(Enum):
+    # symx::ProjectionToPD (solver_utils.h:137-156)
+    Newton = 0            # no projection
+    ProjectedNewton = 1   # always project all element Hessians
+    ProjectOnDemand = 2   # project for a countdown after a failure
+    Progressive = 3       # PPN: per-3x3-block gradient-magnitude threshold
+
+
+@dataclass
+class OutputSettings:
+    # Settings.h Output
+    simulation_name: str = "sim"
+    output_directory: str = ""
+    fps: int = 30
+    console_verbosity: Verbosity = Verbosity.Summary
+    file_verbosity: Verbosity = Verbosity.Full
+    enable_frame_writes: bool = True
+    enable_output: bool = True
+
+
+@dataclass
+class SimulationSettings:
+    # Settings.h Simulation
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    init_frictional_contact: bool = True
+    max_time_step_size: float = 1.0 / 30.0
+    use_adaptive_time_step: bool = True
+    time_step_size_success_multiplier: float = 1.05
+    time_step_size_lower_bound: float = 1e-6
+
+
+@dataclass
+class ExecutionSettings:
+    # Settings.h Execution
+    allowed_execution_time: float = math.inf
+    end_simulation_time: float = math.inf
+    end_frame: int = 2**31 - 1
+
+
+@dataclass
+class NewtonSettings:
+    # solver_utils.h SolverSettings + NewtonSettings
+    # Iteration limits
+    max_iterations: int = 2**31 - 1
+    min_iterations: int = 0
+    # Convergence
+    residual_tolerance_abs: float = 1e-6
+    residual_tolerance_rel: float = 0.0
+    step_tolerance: float = 0.0
+    max_iterations_as_success: bool = False
+    # Line search
+    step_cap: float = math.inf
+    enable_armijo_backtracking: bool = True
+    line_search_armijo_beta: float = 1e-4
+    max_backtracking_armijo_iterations: int = 20
+    max_backtracking_invalid_state_iterations: int = 8
+    print_line_search_upon_failure: bool = False
+    # Hessian projection to PD
+    projection_mode: ProjectionToPD = ProjectionToPD.ProjectedNewton
+    projection_eps: float = 1e-10
+    project_to_pd_use_mirroring: bool = False
+    project_on_demand_countdown: int = 4
+    ppn_tightening_factor: float = 0.5
+    ppn_release_factor: float = 2.0
+    # Linear solver
+    linear_solver: LinearSolver = LinearSolver.BDPCG
+    cg_max_iterations: int = 10000
+    cg_abs_tolerance: float = 1e-12
+    cg_rel_tolerance: float = 1e-4
+    cg_stop_on_indefiniteness: bool = True
+    bailout_residual: float = 1e-10
+
+
+@dataclass
+class DeviceSettings:
+    """TPU-specific knobs with no reference analog."""
+    dtype: str = "float64"       # "float64" for trajectory parity, "float32" for speed
+    n_devices: int = 1           # size of the jax.sharding mesh data axis
+    element_pad_multiple: int = 8   # pad element tables to this multiple (static shapes)
+    donate_buffers: bool = True
+
+
+@dataclass
+class Settings:
+    output: OutputSettings = field(default_factory=OutputSettings)
+    simulation: SimulationSettings = field(default_factory=SimulationSettings)
+    newton: NewtonSettings = field(default_factory=NewtonSettings)
+    execution: ExecutionSettings = field(default_factory=ExecutionSettings)
+    device: DeviceSettings = field(default_factory=DeviceSettings)
+
+    def as_string(self) -> str:
+        def fmt(obj, indent=0):
+            lines = []
+            pad = "    " * indent
+            for f in dataclasses.fields(obj):
+                v = getattr(obj, f.name)
+                if dataclasses.is_dataclass(v):
+                    lines.append(f"{pad}{f.name}:")
+                    lines.append(fmt(v, indent + 1))
+                else:
+                    if isinstance(v, Enum):
+                        v = v.name
+                    lines.append(f"{pad}{f.name}: {v}")
+            return "\n".join(lines)
+
+        return fmt(self)

@@ -1,0 +1,166 @@
+"""Deformable nodal state container.
+
+Reference: /root/reference/stark/src/models/deformables/PointDynamics.h:12-46 —
+all deformable nodes of all objects live in one flat array family
+(X, x0, x1, v0, v1, a, f) with per-object intervals (IntervalVector.h:16-60).
+Registers DOFs "soft.v1" and two callbacks: zero v1 before each step, and on
+accept x1 = x0 + dt*v1, x0<-x1, v0<-v1 (PointDynamics.cpp:5-10, 58-78).
+
+Scene building appends host-side (numpy); `freeze()` converts to device
+arrays once shapes are final (the jit static-shape boundary).
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PointSetHandler:
+    """Per-object view into the flat node arrays (PointSetHandler.h)."""
+
+    def __init__(self, dyn: "PointDynamics", idx: int):
+        self._dyn = dyn
+        self._idx = idx
+
+    @property
+    def idx(self) -> int:
+        return self._idx
+
+    def size(self) -> int:
+        b, e = self._dyn.intervals[self._idx]
+        return e - b
+
+    def get_begin(self) -> int:
+        return self._dyn.intervals[self._idx][0]
+
+    def get_global_index(self, i: int) -> int:
+        b, e = self._dyn.intervals[self._idx]
+        assert 0 <= i < e - b, f"point {i} out of range for set of size {e - b}"
+        return b + i
+
+    def get_global_indices(self, idx):
+        b = self._dyn.intervals[self._idx][0]
+        return np.asarray(idx, dtype=np.int32) + b
+
+    def all_global_indices(self) -> np.ndarray:
+        b, e = self._dyn.intervals[self._idx]
+        return np.arange(b, e, dtype=np.int32)
+
+    def get_position(self, i: int) -> np.ndarray:
+        return self._dyn.host_x(self.get_global_index(i))
+
+    def get_positions(self) -> np.ndarray:
+        b, e = self._dyn.intervals[self._idx]
+        return self._dyn.host_x_all()[b:e]
+
+    def get_rest_positions(self) -> np.ndarray:
+        b, e = self._dyn.intervals[self._idx]
+        return self._dyn.host_X()[b:e]
+
+    def get_velocities(self) -> np.ndarray:
+        b, e = self._dyn.intervals[self._idx]
+        if self._dyn.frozen:
+            return np.asarray(self._dyn.v1)[b:e]
+        return self._dyn._v1_host[b:e]
+
+    def set_velocities(self, v) -> None:
+        b, e = self._dyn.intervals[self._idx]
+        v = np.asarray(v, dtype=np.float64).reshape(e - b, 3)
+        if self._dyn.frozen:
+            self._dyn.v1 = self._dyn.v1.at[b:e].set(jnp.asarray(v))
+            self._dyn.v0 = self._dyn.v0.at[b:e].set(jnp.asarray(v))
+        else:
+            self._dyn._v1_host[b:e] = v
+            self._dyn._v0_host[b:e] = v
+
+    def exit_if_not_valid(self, where: str):
+        if self._idx < 0 or self._idx >= len(self._dyn.intervals):
+            raise RuntimeError(f"invalid PointSetHandler in {where}")
+
+
+class PointDynamics:
+    def __init__(self, stark):
+        self._stark = stark
+        self.intervals: List[Tuple[int, int]] = []
+        self.labels: List[str] = []
+        self._X_host: np.ndarray = np.zeros((0, 3))
+        self._x0_host: np.ndarray = np.zeros((0, 3))
+        self._v0_host: np.ndarray = np.zeros((0, 3))
+        self._v1_host: np.ndarray = np.zeros((0, 3))
+        self._a_host: np.ndarray = np.zeros((0, 3))
+        self._f_host: np.ndarray = np.zeros((0, 3))
+        self.frozen = False
+        # device state (set at freeze)
+        self.X = self.x0 = self.x1 = self.v0 = self.v1 = self.a = self.f = None
+
+        stark.callbacks.add_before_time_step(self._before_time_step)
+        stark.callbacks.add_on_time_step_accepted(self._on_time_step_accepted)
+
+    # -- scene building --
+    def add(self, vertices, label: str = "") -> PointSetHandler:
+        if self.frozen:
+            raise RuntimeError("cannot add points after the simulation started")
+        vertices = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+        b = self._X_host.shape[0]
+        e = b + vertices.shape[0]
+        self.intervals.append((b, e))
+        self.labels.append(label or f"pointset_{len(self.intervals) - 1}")
+        self._X_host = np.concatenate([self._X_host, vertices])
+        self._x0_host = np.concatenate([self._x0_host, vertices])
+        z = np.zeros_like(vertices)
+        self._v0_host = np.concatenate([self._v0_host, z])
+        self._v1_host = np.concatenate([self._v1_host, z])
+        self._a_host = np.concatenate([self._a_host, z])
+        self._f_host = np.concatenate([self._f_host, z])
+        return PointSetHandler(self, len(self.intervals) - 1)
+
+    @property
+    def n_points(self) -> int:
+        return self._X_host.shape[0] if not self.frozen else self.X.shape[0]
+
+    def freeze(self, dtype):
+        self.frozen = True
+        self.X = jnp.asarray(self._X_host, dtype)
+        self.x0 = jnp.asarray(self._x0_host, dtype)
+        self.x1 = jnp.asarray(self._x0_host, dtype)
+        self.v0 = jnp.asarray(self._v0_host, dtype)
+        self.v1 = jnp.asarray(self._v1_host, dtype)
+        self.a = jnp.asarray(self._a_host, dtype)
+        self.f = jnp.asarray(self._f_host, dtype)
+
+    # -- host accessors (work pre- and post-freeze) --
+    def host_x_all(self) -> np.ndarray:
+        return np.asarray(self.x0) if self.frozen else self._x0_host
+
+    def host_x(self, i: int) -> np.ndarray:
+        return self.host_x_all()[i]
+
+    def host_X(self) -> np.ndarray:
+        return np.asarray(self.X) if self.frozen else self._X_host
+
+    def get_x1(self, dt):
+        """x1 = x0 + dt*v1 under current trial velocities (device)."""
+        return self.x0 + dt * self.v1
+
+    # -- glob contribution for energy functions --
+    def glob_entries(self):
+        return {"x0": self.x0, "v0": self.v0, "pt_a": self.a, "pt_f": self.f,
+                "X": self.X}
+
+    # -- callbacks --
+    def _before_time_step(self):
+        if self.n_points == 0:
+            return
+        # zero next-step velocity guess (PointDynamics.cpp:58-63)
+        self.v1 = jnp.zeros_like(self.v1)
+
+    def _on_time_step_accepted(self):
+        if self.n_points == 0:
+            return
+        dt = self._stark.dt
+        self.x1 = self.x0 + dt * self.v1
+        self.x0 = self.x1
+        self.v0 = self.v1

@@ -1,0 +1,439 @@
+"""Projected Newton minimizer with 4-stage line search and retry ladder.
+
+Reference: /root/reference/stark/extern/symx/src/solver/NewtonsMethod.cpp:28-641.
+Flow per solve(): evaluate E/g/H -> residual (inf-norm) -> convergence checks
+(abs/rel residual, bailout, step tol) -> inner loop {project Hessians per
+mode, matrix-free BDPCG with forcing sequence, check descent, escalate
+projection} -> 4-stage line search [cap][max][inv][bt] -> converged-state
+validity. Host Python makes the ladder decisions (exactly the reference's
+host-side role); each stage body is a jitted device function.
+
+The four projection modes (Newton / ProjectedNewton / ProjectOnDemand /
+Progressive-PPN) and their escalation rules follow NewtonsMethod.cpp:254-386.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from enum import Enum
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.callbacks import SolverCallbacks
+from ..core.logger import Logger, OutputSink
+from ..core.settings import LinearSolver, NewtonSettings, ProjectionToPD, Verbosity
+from . import assembly, project
+from .pcg import solve_pcg
+from .potential import PotentialFamily
+
+
+class SolverReturn(Enum):
+    # symx::SolverReturn (solver_utils.h:15-26)
+    Successful = 0
+    Running = 1
+    InvalidInitialState = 2
+    TooManyIterations = 3
+    TooManyArmijoIterations = 4
+    LinearSystemSolveFailure = 5
+    TooManyInvalidIntermediateIterations = 6
+    StepDoesNotDescend = 7
+    InvalidConvergedState = 8
+
+
+@dataclass
+class SolveStats:
+    newton_iterations: int = 0
+    cg_iterations: int = 0
+    ls_cap_iterations: int = 0
+    ls_max_iterations: int = 0
+    ls_inv_iterations: int = 0
+    ls_bt_iterations: int = 0
+    n_hessians: int = 0
+    n_projected_hessians: int = 0
+    projected_hessians_ratio: float = 0.0
+
+
+class NewtonsMethod:
+    """Host orchestrator over jitted device stages.
+
+    Parameters
+    ----------
+    families : registered potential families (static + dynamic).
+    n_blocks : total DOF blocks (DofLayout.n_blocks).
+    get_data : () -> data dict for the current Newton evaluation (static
+        family tables + freshly refreshed contact tables).
+    get_glob : () -> glob pytree (dt, gravity, state arrays).
+    get_dofs / set_dofs : read/write the flat (n_blocks, 3) DOF vector
+        from/to the model state containers (GlobalPotential get/set_dofs,
+        GlobalPotential.cpp:83-140).
+    """
+
+    def __init__(self, families, n_blocks: int, callbacks: SolverCallbacks,
+                 settings: NewtonSettings, logger: Logger, output: OutputSink,
+                 get_data: Callable, get_glob: Callable,
+                 get_dofs: Callable, set_dofs: Callable):
+        self.families = families
+        self.n_blocks = n_blocks
+        self.callbacks = callbacks
+        self.settings = settings
+        self.logger = logger
+        self.output = output
+        self.get_data = get_data
+        self.get_glob = get_glob
+        self.get_dofs = get_dofs
+        self.set_dofs = set_dofs
+        self.stats = SolveStats()
+
+        (self._energy, self._energy_grad, self._energy_grad_hess,
+         self._hvp, self._diag_blocks) = assembly.make_evaluators(families, n_blocks)
+
+        self._jit_energy = jax.jit(self._energy)
+        self._jit_egh = jax.jit(self._energy_grad_hess)
+        self._jit_project_all = jax.jit(
+            partial(project.project_all), static_argnames=("mirroring",))
+        self._jit_cg = jax.jit(self._cg_stage, static_argnames=("stop_on_indef",))
+        self._jit_cg_direct = jax.jit(self._direct_stage)
+        self._jit_apply_du = jax.jit(lambda u0, du, s: u0 + s * du)
+
+    # ------------------------------------------------------------------
+    # jitted stages
+    # ------------------------------------------------------------------
+    def _cg_stage(self, grad, data, hess, abs_tol, rel_tol, max_iter, stop_on_indef):
+        D = self._diag_blocks(data, hess)
+        Dinv = assembly.precondition_inverse(D)
+        A = lambda p: self._hvp(p, data, hess)
+        Minv = lambda r: assembly.apply_preconditioner(Dinv, r)
+        return solve_pcg(A, Minv, -grad, abs_tol, rel_tol, max_iter, stop_on_indef)
+
+    def _direct_stage(self, grad, data, hess):
+        """DirectLLT path for small systems (rb_constraints tests use it for
+        determinism, tests/rb_constraints.cpp:27-46): dense assembly + Cholesky."""
+        n = self.n_blocks
+        H = jnp.zeros((n, 3, n, 3), dtype=grad.dtype)
+        for name, H_e in hess.items():
+            fd = data[name]
+            conn = fd["conn"]
+            a = conn.shape[1]
+            Hb = H_e.reshape(H_e.shape[0], a, 3, a, 3)
+            # scatter dense blocks: rows conn[:, i], cols conn[:, j]
+            for i in range(a):
+                for j in range(a):
+                    H = H.at[conn[:, i], :, conn[:, j], :].add(Hb[:, i, :, j, :])
+        Hd = H.reshape(3 * n, 3 * n)
+        # tiny diagonal shift guards untouched DOFs (they have zero rows)
+        Hd = Hd + 1e-30 * jnp.eye(3 * n, dtype=grad.dtype)
+        L, low = jax.scipy.linalg.cho_factor(Hd)
+        du = jax.scipy.linalg.cho_solve((L, low), -grad.reshape(-1))
+        ok = jnp.all(jnp.isfinite(du))
+        return du.reshape(n, 3), ok
+
+    # ------------------------------------------------------------------
+    # main solve (NewtonsMethod.cpp:28-252)
+    # ------------------------------------------------------------------
+    def solve(self) -> SolverReturn:
+        s = self.settings
+        self.stats = SolveStats()
+        result = SolverReturn.Running
+        res_0 = math.inf
+        E0 = 0.0
+
+        # Projection state persisting across Newton iterations
+        self._pdn_countdown = 0
+        self._ppn_threshold = -1.0
+
+        if not self.callbacks.run_is_initial_state_valid():
+            self.output.print_with_new_line("Newton failure: Invalid initial state.", Verbosity.Medium)
+            result = SolverReturn.InvalidInitialState
+
+        newton_iteration = -1
+        while result == SolverReturn.Running:
+            newton_iteration += 1
+            if newton_iteration == s.max_iterations:
+                result = (SolverReturn.Successful if s.max_iterations_as_success
+                          else SolverReturn.TooManyIterations)
+                break
+
+            # Evaluate energy, gradient and element Hessians
+            self.callbacks.run_before_energy_evaluation()
+            data = self.get_data()
+            glob = self.get_glob()
+            u = self.get_dofs()
+            with self.logger.time("evaluate"):
+                E0_dev, grad, hess_raw = self._jit_egh(u, data, glob)
+                E0 = float(E0_dev)
+
+            # Residual (default inf-norm, solver_utils.h:28)
+            if self.callbacks.residual is not None:
+                residual_norm = float(self.callbacks.residual(grad))
+            else:
+                residual_norm = float(jnp.max(jnp.abs(grad)))
+            if newton_iteration == 0:
+                res_0 = residual_norm
+
+            if residual_norm < s.bailout_residual:
+                result = SolverReturn.Successful
+                break
+            if newton_iteration >= s.min_iterations:
+                if residual_norm < s.residual_tolerance_abs:
+                    result = SolverReturn.Successful
+                    break
+                if newton_iteration > 0 and residual_norm / res_0 < s.residual_tolerance_rel:
+                    result = SolverReturn.Successful
+                    break
+
+            # Inner loop: project + solve until a descent direction (or give up)
+            init_cg = self.stats.cg_iterations
+            du = None
+            du_dot_grad = 0.0
+            while True:
+                hess, all_projected, n_projected = self._project(hess_raw, data, grad)
+                du, ok, cg_iters = self._solve_linear_system(grad, data, hess, residual_norm)
+                self.stats.cg_iterations += cg_iters
+
+                descends = False
+                if ok:
+                    du_dot_grad = float(jnp.vdot(du, grad))
+                    descends = du_dot_grad < 0.0
+
+                if ok and descends:
+                    break
+                can_project_more = (s.projection_mode != ProjectionToPD.Newton) and not all_projected
+                if not can_project_more:
+                    result = (SolverReturn.LinearSystemSolveFailure if not ok
+                              else SolverReturn.StepDoesNotDescend)
+                    break
+                self._increase_projection(grad)
+
+            if result != SolverReturn.Running:
+                self.output.print_with_new_line(
+                    "Newton failure: Could not solve the linear system or find a descend direction.",
+                    Verbosity.Summary)
+                break
+
+            self._decrease_projection()
+
+            # Stats / logs (NewtonsMethod.cpp:195-207)
+            n_hessians = int(project.count_elements(hess_raw, data))
+            self.stats.n_hessians += n_hessians
+            self.stats.n_projected_hessians += int(n_projected)
+            self.logger.add_and_append("cg_iterations", self.stats.cg_iterations - init_cg)
+
+            # Step tolerance
+            du_max = float(jnp.max(jnp.abs(du)))
+            if newton_iteration >= s.min_iterations and du_max < s.step_tolerance:
+                result = SolverReturn.Successful
+                break
+
+            # Line search
+            result = self._line_search(u, du, E0, du_dot_grad, du_max, data, glob)
+
+            # User convergence
+            if newton_iteration >= s.min_iterations and self.callbacks.run_is_converged():
+                result = SolverReturn.Successful
+                break
+            if result != SolverReturn.Running:
+                break
+
+        # Converged-state validity (NewtonsMethod.cpp:243-252)
+        if result == SolverReturn.Successful:
+            if not self.callbacks.run_is_converged_state_valid():
+                self.output.print_with_new_line("Newton failure: Invalid converged state.", Verbosity.Medium)
+                result = SolverReturn.InvalidConvergedState
+
+        self.stats.newton_iterations = max(newton_iteration, 0)
+        if self.stats.n_hessians > 0:
+            self.stats.projected_hessians_ratio = (
+                self.stats.n_projected_hessians / self.stats.n_hessians)
+        self.logger.add_and_append("newton_iterations", self.stats.newton_iterations)
+        self.logger.append("projected_hessians_ratio", self.stats.projected_hessians_ratio)
+        return result
+
+    # ------------------------------------------------------------------
+    # projection ladder (NewtonsMethod.cpp:254-386)
+    # ------------------------------------------------------------------
+    def _project(self, hess_raw, data, grad):
+        s = self.settings
+        mode = s.projection_mode
+        with self.logger.time("project_to_PD"):
+            if mode == ProjectionToPD.Newton:
+                return hess_raw, False, 0
+            if mode == ProjectionToPD.ProjectedNewton:
+                hess, n = project.project_all(hess_raw, s.projection_eps,
+                                              s.project_to_pd_use_mirroring)
+                return hess, True, int(n)
+            if mode == ProjectionToPD.ProjectOnDemand:
+                if self._pdn_countdown > 0:
+                    hess, n = project.project_all(hess_raw, s.projection_eps,
+                                                  s.project_to_pd_use_mirroring)
+                    return hess, True, int(n)
+                return hess_raw, False, 0
+            if mode == ProjectionToPD.Progressive:
+                if self._ppn_threshold < 0.0:
+                    return hess_raw, False, 0
+                thr = self._ppn_threshold
+                if 0.0 < thr < 1e-12:
+                    thr = 0.0
+                    self._ppn_threshold = 0.0
+                block_mask = jnp.max(jnp.abs(grad), axis=1) >= thr
+                all_projected = bool(jnp.all(block_mask))
+                hess, n = project.project_selective(
+                    hess_raw, data, s.projection_eps,
+                    s.project_to_pd_use_mirroring, block_mask)
+                return hess, all_projected, int(n)
+        raise ValueError(f"unknown projection mode {mode}")
+
+    def _increase_projection(self, grad):
+        s = self.settings
+        if s.projection_mode == ProjectionToPD.ProjectOnDemand:
+            self._pdn_countdown = s.project_on_demand_countdown
+        elif s.projection_mode == ProjectionToPD.Progressive:
+            if self._ppn_threshold < 0.0:
+                self._ppn_threshold = float(jnp.max(jnp.abs(grad)))
+            self._ppn_threshold *= s.ppn_tightening_factor
+
+    def _decrease_projection(self):
+        s = self.settings
+        if s.projection_mode == ProjectionToPD.ProjectOnDemand:
+            self._pdn_countdown -= 1
+        elif s.projection_mode == ProjectionToPD.Progressive:
+            self._ppn_threshold *= s.ppn_release_factor
+
+    # ------------------------------------------------------------------
+    # linear solve (NewtonsMethod.cpp:388-457)
+    # ------------------------------------------------------------------
+    def _solve_linear_system(self, grad, data, hess, residual_norm):
+        s = self.settings
+        with self.logger.time("linear_system_solve"):
+            if s.linear_solver == LinearSolver.DirectLLT:
+                du, ok = self._jit_cg_direct(grad, data, hess)
+                return du, bool(ok), 0
+            # Forcing sequence (NewtonsMethod.cpp:423)
+            forcing = min(1e-2, residual_norm * min(0.5, math.sqrt(residual_norm)))
+            abs_tol = max(forcing, s.cg_abs_tolerance)
+            res = self._jit_cg(grad, data, hess,
+                               jnp.asarray(abs_tol, grad.dtype),
+                               jnp.asarray(s.cg_rel_tolerance, grad.dtype),
+                               s.cg_max_iterations,
+                               stop_on_indef=s.cg_stop_on_indefiniteness)
+            return res.x, bool(res.converged), int(res.n_iterations)
+
+    # ------------------------------------------------------------------
+    # 4-stage line search (NewtonsMethod.cpp:459-641)
+    # ------------------------------------------------------------------
+    def _line_search(self, u0, du, E0, du_dot_grad, du_max, data, glob) -> SolverReturn:
+        s = self.settings
+        retraction = 1.0
+
+        # [cap]
+        if du_max > s.step_cap:
+            retraction *= s.step_cap / du_max
+            du = du * (s.step_cap / du_max)
+            du_max = s.step_cap
+            self.stats.ls_cap_iterations += 1
+            self.logger.add_and_append("ls_cap", 1)
+        else:
+            self.logger.add_and_append("ls_cap", 0)
+
+        # [max]
+        max_step = self.callbacks.run_max_allowed_step()
+        if max_step < 1.0:
+            retraction *= max_step
+            du = du * max_step
+            du_max *= max_step
+            self.stats.ls_max_iterations += 1
+            self.logger.add_and_append("ls_max", 1)
+        else:
+            self.logger.add_and_append("ls_max", 0)
+
+        shrink = 0.5
+        step = 1.0
+        self.set_dofs(self._jit_apply_du(u0, du, step))
+
+        # [inv]
+        ls_inv_it = 0
+        while ls_inv_it < s.max_backtracking_invalid_state_iterations:
+            if self.callbacks.run_is_intermediate_state_valid():
+                break
+            step *= shrink
+            self.set_dofs(self._jit_apply_du(u0, du, step))
+            self.stats.ls_inv_iterations += 1
+            ls_inv_it += 1
+        self.logger.add_and_append("ls_inv", ls_inv_it)
+        if ls_inv_it == s.max_backtracking_invalid_state_iterations:
+            self.output.print_with_new_line(
+                "Newton failure: Too many invalid intermediate state iterations.", Verbosity.Medium)
+            self.callbacks.run_on_intermediate_state_invalid()
+            return SolverReturn.TooManyInvalidIntermediateIterations
+
+        # [bt] Armijo
+        if not s.enable_armijo_backtracking:
+            return SolverReturn.Running
+
+        expected_decrease = s.line_search_armijo_beta * du_dot_grad * retraction
+        E_threshold = E0 + expected_decrease * step
+        armijo_iterations = 0
+        while armijo_iterations < s.max_backtracking_armijo_iterations:
+            # contact tables must track the trial state (the reference re-runs
+            # before_energy_evaluation inside armijo, NewtonsMethod.cpp:594-596)
+            self.callbacks.run_before_energy_evaluation()
+            data_ls = self.get_data()
+            glob_ls = self.get_glob()
+            E1 = float(self._jit_energy(self.get_dofs(), data_ls, glob_ls))
+            if E1 < E_threshold:
+                break
+            step *= shrink
+            self.set_dofs(self._jit_apply_du(u0, du, step))
+            E_threshold = E0 + expected_decrease * step
+            self.stats.ls_bt_iterations += 1
+            armijo_iterations += 1
+        self.logger.add_and_append("ls_bt", armijo_iterations)
+
+        if armijo_iterations == s.max_backtracking_armijo_iterations:
+            self.output.print_with_new_line("Newton failure: Too many armijo iterations.", Verbosity.Medium)
+            self.callbacks.run_on_armijo_fail()
+            return SolverReturn.TooManyArmijoIterations
+
+        return SolverReturn.Running
+
+    # ------------------------------------------------------------------
+    def get_last_solve_stats(self) -> SolveStats:
+        return self.stats
+
+    def print_summary(self):
+        out = self.output
+        logger = self.logger
+        total_n_newton = logger.get_stats("newton_iterations").total
+        if total_n_newton == 0:
+            out.print_with_new_line("No Newton iterations were performed.")
+            return
+        out.print_with_new_line("")
+        out.print_with_new_line(f"  {'Solve':<24} {'Total':>10} {'Avg':>8} {'Min':>8} {'Max':>8}")
+        out.print_with_new_line("  " + "-" * 62)
+        rows = [("Newton iterations", "newton_iterations"), ("CG iterations", "cg_iterations"),
+                ("Line search cap", "ls_cap"), ("Line search max", "ls_max"),
+                ("Line search inv", "ls_inv"), ("Line search bt", "ls_bt")]
+        for label, key in rows:
+            st = logger.get_stats(key)
+            out.print_with_new_line(
+                f"  {label:<24} {int(st.total):>10} {st.avg:>8.1f} {int(st.min):>8} {int(st.max):>8}")
+        st = logger.get_stats("projected_hessians_ratio")
+        out.print_with_new_line(
+            f"  {'Projected hessians':<24} {'':>10} {100*st.avg:>7.1f}% {100*st.min:>7.1f}% {100*st.max:>7.1f}%")
+        total_time = sum(logger.get_timer_total(l) for l in logger.get_timer_labels())
+        out.print_with_new_line("")
+        out.print_with_new_line(f"  {'Runtime':<40} {'Time (s)':>10}  {'%':>6}")
+        out.print_with_new_line("  " + "-" * 60)
+        entries = sorted(((l, logger.get_timer_total(l)) for l in logger.get_timer_labels()),
+                         key=lambda kv: -kv[1])
+        for label, t in entries:
+            if total_time > 0 and t / total_time < 0.001:
+                continue
+            pct = 100.0 * t / total_time if total_time > 0 else 0.0
+            out.print_with_new_line(f"  {label:<40} {t:>10.6f}  {pct:>5.1f}%")
+        out.print_with_new_line("  " + "-" * 60)
+        out.print_with_new_line(f"  {'Total':<40} {total_time:>10.6f}  100.0%")
+        out.print_new_line()
