@@ -1,0 +1,113 @@
+"""Benchmark harness: spinning_box_cloth on the available accelerator.
+
+Reproduces the reference's headline scene (examples/main.cpp:371-414 — a 32x32
+cloth falling on a prescribed spinning box with IPC contact) and reports the
+primary BASELINE.json metric: Newton iterations per second, plus sim-seconds
+per wall-hour and contact pairs/s.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
+measured against the C++ OpenMP build when a local measurement file
+(baseline_local.json with {"newton_iters_per_s": X}) exists, else null.
+"""
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene(n_quads=32, duration=10.0, dtype="float32"):
+    from stark_tpu import Settings, Simulation
+    from stark_tpu.presets.presets import SurfaceParams
+
+    s = Settings()
+    s.output.simulation_name = "spinning_box_cloth"
+    s.output.enable_output = False
+    s.output.enable_frame_writes = False
+    s.device.dtype = dtype
+    # f32 needs loosened tolerances relative to the all-double reference
+    if dtype == "float32":
+        s.newton.residual_tolerance_abs = 1e-3
+        s.newton.cg_abs_tolerance = 1e-6
+    sim = Simulation(s)
+
+    from stark_tpu.models.interactions.contact import ContactGlobalParams
+
+    gp = ContactGlobalParams()
+    gp.default_contact_thickness = 0.002
+    sim.interactions.contact.set_global_params(gp)
+
+    cloth = sim.presets.deformables.add_surface_grid(
+        "cloth", (0.4, 0.4), (n_quads, n_quads), SurfaceParams.Cotton_Fabric())
+    box = sim.presets.rigidbodies.add_box("box", 1.0, 0.08)
+    box.rigidbody.add_translation([0.0, 0.0, -0.08])
+    fix = sim.rigidbodies.add_constraint_fix(box.rigidbody)
+
+    def spin(t):
+        fix.set_transformation([0.0, 0.0, -0.08 - 0.1 * math.sin(t)],
+                               angle_deg=90.0 * t, axis=[0.0, 0.0, 1.0])
+
+    sim.add_time_event(0.0, duration, spin)
+    return sim
+
+
+def main():
+    n_quads = int(os.environ.get("BENCH_N_QUADS", "32"))
+    sim_seconds = float(os.environ.get("BENCH_SIM_SECONDS", "1.0"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
+    sim = build_scene(n_quads=n_quads, dtype=dtype)
+
+    # warmup: first step triggers all jit compiles
+    sim.run_one_time_step()
+    logger = sim.get_logger()
+    warm_newton = logger.get_stats("newton_iterations").total
+
+    t0 = time.perf_counter()
+    t_sim0 = sim.get_time()
+    ok = sim.run(duration=sim_seconds)
+    wall = time.perf_counter() - t0
+
+    newton_iters = logger.get_stats("newton_iterations").total - warm_newton
+    sim_advanced = sim.get_time() - t_sim0
+    iters_per_s = newton_iters / wall if wall > 0 else 0.0
+    sim_sec_per_wall_hour = sim_advanced / wall * 3600.0
+
+    # contact pairs/s: active pairs summed over steps / wall
+    eng = sim.interactions.contact._engine
+    pairs_now = 0
+    if eng is not None:
+        for fd in eng._contact_data.values():
+            pairs_now += int(np.sum(np.asarray(fd["rows"]["active"]) > 0.5))
+
+    vs_baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "baseline_local.json")) as f:
+            base = json.load(f).get("newton_iters_per_s")
+            if base:
+                vs_baseline = iters_per_s / base
+    except OSError:
+        pass
+
+    print(json.dumps({
+        "metric": "newton_iters_per_s(spinning_box_cloth_%d)" % n_quads,
+        "value": round(iters_per_s, 3),
+        "unit": "iter/s",
+        "vs_baseline": vs_baseline,
+        "extra": {
+            "ok": bool(ok),
+            "sim_sec_per_wall_hour": round(sim_sec_per_wall_hour, 2),
+            "contact_pairs_live": pairs_now,
+            "newton_iters": int(newton_iters),
+            "wall_s": round(wall, 2),
+            "dtype": dtype,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

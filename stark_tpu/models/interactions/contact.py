@@ -32,8 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...solver.potential import PotentialFamily
-from ...collision import narrow_phase as npg
-from ...collision import broad_phase, intersection
 from ... import maths
 
 
@@ -215,7 +213,10 @@ class EnergyFrictionalContact:
         return self.global_params
 
     def set_global_params(self, params: ContactGlobalParams):
+        # the reference also resets the running stiffness to the configured
+        # minimum (EnergyFrictionalContact.cpp:44-48)
         self.global_params = params
+        self.contact_stiffness = params.min_contact_stiffness
 
     def set_contact_thickness(self, handler: ContactHandler, t: float):
         self.contact_thicknesses[handler.idx] = t
@@ -279,7 +280,9 @@ class EnergyFrictionalContact:
                                      self.global_params.max_contact_stiffness)
 
     def _is_converged_state_valid(self) -> bool:
-        return True
+        # the reference registers the same intersection test for the
+        # converged state (EnergyFrictionalContact.cpp:25)
+        return self._is_intermediate_state_valid(initial=False)
 
     def _on_time_step_accepted(self):
         # stiffness decay x0.99 bounded below (EnergyFrictionalContact.cpp:807-810)

@@ -1,0 +1,585 @@
+"""Device-side collision pipeline: candidate generation, pair compaction,
+lagged-friction precompute, and intersection testing.
+
+Reference behavior: /root/reference/stark/src/models/interactions/
+EnergyFrictionalContact.cpp — contact tables rebuilt every Newton energy
+evaluation from a proximity pass over x1 = x0 + dt*v1 (:368-530), friction
+anchors frozen once per step from a dt=0 pass (:531-773), and the
+edge-triangle intersection oracle for line-search validity (:774-799).
+Candidate exclusion rules mirror tmcd's broad phase
+(BroadPhasePTEEBase.cpp:540-544, 711-721): PT discards same-mesh incident
+pairs; EE dedups by (set, index) order and discards same-mesh vertex-sharing
+pairs.
+
+TPU design (SURVEY.md §7): instead of an octree + scalar narrow phase, each
+(system-combo) candidate block is a dense masked distance matrix computed in
+one fused XLA kernel, compacted into fixed-capacity pair buffers via
+`jnp.nonzero(size=CAP)`; overflow doubles the capacity and re-traces (the
+static-shape analog of the reference's dynamic arrays). A sparse/hash-grid
+broad phase can later replace the dense matrices without changing the
+energies.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import maths
+from ...collision import narrow_phase as nph
+
+
+def _dedup_mask(mesh_a, idx_a, mesh_b, idx_b):
+    """tmcd edge-edge dedup: approve if set_b > set_a, or same set and
+    idx_b > idx_a (BroadPhasePTEEBase.cpp:711-713)."""
+    return (mesh_b[None, :] > mesh_a[:, None]) | (
+        (mesh_b[None, :] == mesh_a[:, None]) & (idx_b[None, :] > idx_a[:, None]))
+
+
+class ContactEngine:
+    def __init__(self, model, layout, dtype):
+        self.model = model
+        self.layout = layout
+        self.dtype = dtype
+        self._build_static_tables()
+        self._caps: Dict[str, int] = {}
+        self._contact_data: Dict[str, dict] = {}
+        self._friction_data: Dict[str, dict] = {}
+        self._jits = {}
+
+    # ------------------------------------------------------------------
+    # static tables (host, freeze time)
+    # ------------------------------------------------------------------
+    def _build_static_tables(self):
+        m = self.model
+        sv_gid, sv_mesh = [], []
+        rv_body, rv_loc, rv_mesh = [], [], []
+        es, es_mesh = [], []       # soft edges (indices into sv)
+        er, er_mesh = [], []       # rigid edges (indices into rv)
+        ts, ts_mesh = [], []
+        tr, tr_mesh = [], []
+        for mesh in m.meshes:
+            h = mesh.handler_idx
+            if mesh.is_rigid:
+                base = len(rv_body)
+                for loc in mesh.local_vertices:
+                    rv_body.append(mesh.rb_idx)
+                    rv_loc.append(loc)
+                    rv_mesh.append(h)
+                for e in mesh.edges:
+                    er.append([base + e[0], base + e[1]])
+                    er_mesh.append(h)
+                for t in mesh.triangles:
+                    tr.append([base + t[0], base + t[1], base + t[2]])
+                    tr_mesh.append(h)
+            else:
+                base = len(sv_gid)
+                for gid in mesh.point_ids:
+                    sv_gid.append(int(gid))
+                    sv_mesh.append(h)
+                for e in mesh.edges:
+                    es.append([base + e[0], base + e[1]])
+                    es_mesh.append(h)
+                for t in mesh.triangles:
+                    ts.append([base + t[0], base + t[1], base + t[2]])
+                    ts_mesh.append(h)
+
+        ii = np.int32
+        self.sv_gid = np.asarray(sv_gid, ii)
+        self.sv_mesh = np.asarray(sv_mesh, ii)
+        self.rv_body = np.asarray(rv_body, ii)
+        self.rv_loc = np.asarray(rv_loc, np.float64).reshape(-1, 3)
+        self.rv_mesh = np.asarray(rv_mesh, ii)
+        self.es = np.asarray(es, ii).reshape(-1, 2)
+        self.es_mesh = np.asarray(es_mesh, ii)
+        self.er = np.asarray(er, ii).reshape(-1, 2)
+        self.er_mesh = np.asarray(er_mesh, ii)
+        self.ts = np.asarray(ts, ii).reshape(-1, 3)
+        self.ts_mesh = np.asarray(ts_mesh, ii)
+        self.tr = np.asarray(tr, ii).reshape(-1, 3)
+        self.tr_mesh = np.asarray(tr_mesh, ii)
+
+        nm = len(m.contact_thicknesses)
+        enabled = np.ones((nm, nm), dtype=bool)
+        for (a, b) in m.disabled_pairs:
+            enabled[a, b] = enabled[b, a] = False
+        self.enabled_mat = enabled
+
+        # static exclusion masks per candidate block
+        def pt_incident(pmesh, tri, tmesh, tri_vert_of_same_kind):
+            # same mesh AND point is a vertex of the triangle
+            if len(pmesh) == 0 or len(tmesh) == 0:
+                return np.zeros((len(pmesh), len(tmesh)), dtype=bool)
+            pidx = np.arange(len(pmesh))
+            same = pmesh[:, None] == tmesh[None, :]
+            inc = np.zeros((len(pmesh), len(tmesh)), dtype=bool)
+            for k in range(3):
+                inc |= pidx[:, None] == tri[None, :, k]
+            return same & inc
+
+        self.pt_dd_excl = pt_incident(self.sv_mesh, self.ts, self.ts_mesh, True)
+        self.pt_rr_excl = pt_incident(self.rv_mesh, self.tr, self.tr_mesh, True)
+        # additionally drop same-mesh rigid-rigid pairs entirely: co-moving
+        # points have rigid-invariant distances (exactly zero gradient)
+        if len(self.rv_mesh) and len(self.tr_mesh):
+            self.pt_rr_excl |= self.rv_mesh[:, None] == self.tr_mesh[None, :]
+
+        def ee_excl(edges_a, mesh_a, edges_b, mesh_b, dedup):
+            na, nb = len(mesh_a), len(mesh_b)
+            if na == 0 or nb == 0:
+                return np.zeros((na, nb), dtype=bool)
+            same = mesh_a[:, None] == mesh_b[None, :]
+            share = np.zeros((na, nb), dtype=bool)
+            for i in range(2):
+                for j in range(2):
+                    share |= edges_a[:, None, i] == edges_b[None, :, j]
+            excl = same & share
+            if dedup:
+                ia = np.arange(na)
+                approve = (mesh_b[None, :] > mesh_a[:, None]) | (
+                    same & (ia[None, :] > ia[:, None]))
+                excl |= ~approve
+            return excl
+
+        self.ee_dd_excl = ee_excl(self.es, self.es_mesh, self.es, self.es_mesh, True)
+        self.ee_rr_excl = ee_excl(self.er, self.er_mesh, self.er, self.er_mesh, True)
+        if len(self.er_mesh) and len(self.er_mesh):
+            self.ee_rr_excl |= self.er_mesh[:, None] == self.er_mesh[None, :]
+
+        # edge-triangle incidence for the intersection test: exclude pairs
+        # sharing a vertex (same kind + mesh)
+        def et_excl(edges, emesh, tris, tmesh):
+            if len(emesh) == 0 or len(tmesh) == 0:
+                return np.zeros((len(emesh), len(tmesh)), dtype=bool)
+            same = emesh[:, None] == tmesh[None, :]
+            share = np.zeros((len(emesh), len(tmesh)), dtype=bool)
+            for i in range(2):
+                for k in range(3):
+                    share |= edges[:, None, i] == tris[None, :, k]
+            return same & share
+
+        self.et_ss_excl = et_excl(self.es, self.es_mesh, self.ts, self.ts_mesh)
+        self.et_rr_excl = et_excl(self.er, self.er_mesh, self.tr, self.tr_mesh)
+
+        # layout helpers
+        self.n_soft = self.layout.n_soft
+        self.rv_vblock = (self.n_soft + 2 * self.rv_body).astype(ii)
+        self.rv_wblock = (self.rv_vblock + 1).astype(ii)
+
+        # initial capacities
+        self._caps = {}
+
+    # ------------------------------------------------------------------
+    # world positions (traced)
+    # ------------------------------------------------------------------
+    def _world(self, glob, dt):
+        Vs = None
+        Vr = None
+        if len(self.sv_gid):
+            Vs = glob["x0"][self.sv_gid] + dt * glob["soft_v1"][self.sv_gid]
+        if len(self.rv_body):
+            q0 = glob["rb_q0"]
+            w1 = glob["rb_w1"]
+            v1 = glob["rb_v1"]
+            t0 = glob["rb_t0"]
+            R1 = jax.vmap(maths.quat_integration_rotation, in_axes=(0, 0, None))(q0, w1, dt)
+            t1 = t0 + dt * v1
+            Vr = t1[self.rv_body] + jnp.einsum(
+                "vij,vj->vi", R1[self.rv_body], jnp.asarray(self.rv_loc, self.dtype))
+        return Vs, Vr
+
+    def _engine_glob(self, dt):
+        """State snapshot for the engine jits."""
+        m = self.model
+        d = self.dtype
+        glob = {"dt": jnp.asarray(dt, d)}
+        if len(self.sv_gid):
+            glob["x0"] = m.dyn.x0
+            glob["soft_v1"] = m.dyn.v1
+        if len(self.rv_body):
+            glob["rb_t0"] = jnp.asarray(m.rb_dyn.t0, d)
+            glob["rb_q0"] = jnp.asarray(m.rb_dyn.q0, d)
+            glob["rb_v1"] = m.rb_dyn.v1
+            glob["rb_w1"] = m.rb_dyn.w1
+        return glob
+
+    def _dhat_mat(self):
+        th = np.asarray(self.model.contact_thicknesses)
+        return jnp.asarray(th[:, None] + th[None, :], self.dtype)
+
+    def _mu_mat(self):
+        nm = len(self.model.contact_thicknesses)
+        mu = np.zeros((nm, nm))
+        for (a, b), v in self.model.pair_mu.items():
+            mu[a, b] = mu[b, a] = v
+        return jnp.asarray(mu, self.dtype)
+
+    # ------------------------------------------------------------------
+    # candidate block definitions
+    # ------------------------------------------------------------------
+    def _blocks(self):
+        """Yield candidate block descriptors: (family stem, point/edge side
+        data, tri/edge side data, static exclusion)."""
+        blocks = []
+        if len(self.sv_gid) and len(self.ts):
+            blocks.append(("pt_dd",))
+        if len(self.sv_gid) and len(self.tr):
+            blocks.append(("pt_dr",))
+        if len(self.rv_body) and len(self.ts):
+            blocks.append(("pt_rd",))
+        if len(self.rv_body) and len(self.tr):
+            blocks.append(("pt_rr",))
+        if len(self.es):
+            blocks.append(("ee_dd",))
+        if len(self.er) and len(self.es):
+            blocks.append(("ee_dr",))
+        if len(self.er):
+            blocks.append(("ee_rr",))
+        return [b[0] for b in blocks]
+
+    def _cap(self, name):
+        if name not in self._caps:
+            self._caps[name] = 256
+        return self._caps[name]
+
+    # ------------------------------------------------------------------
+    # pair generation (traced; shapes static given caps)
+    # ------------------------------------------------------------------
+    def _pt_pairs(self, stem, Vs, Vr, dhat_mat, extra_mat=None):
+        """Masked PT distances + compaction for one combo block.
+        Returns (p_idx, t_idx, active, d, count)."""
+        if stem == "pt_dd":
+            P, pm = Vs, self.sv_mesh
+            T, tri, tm = Vs, self.ts, self.ts_mesh
+            excl = self.pt_dd_excl
+        elif stem == "pt_dr":
+            P, pm = Vs, self.sv_mesh
+            T, tri, tm = Vr, self.tr, self.tr_mesh
+            excl = np.zeros((len(pm), len(tm)), dtype=bool)
+        elif stem == "pt_rd":
+            P, pm = Vr, self.rv_mesh
+            T, tri, tm = Vs, self.ts, self.ts_mesh
+            excl = np.zeros((len(pm), len(tm)), dtype=bool)
+        else:  # pt_rr
+            P, pm = Vr, self.rv_mesh
+            T, tri, tm = Vr, self.tr, self.tr_mesh
+            excl = self.pt_rr_excl
+
+        t0 = T[tri[:, 0]]
+        t1 = T[tri[:, 1]]
+        t2 = T[tri[:, 2]]
+        D = jax.vmap(lambda p: jax.vmap(nph.point_triangle_distance,
+                                        in_axes=(None, 0, 0, 0))(p, t0, t1, t2))(P)
+        dhat = dhat_mat[pm[:, None], tm[None, :]]
+        allowed = jnp.asarray(self.enabled_mat[np.ix_(pm, tm)] & ~excl)
+        mask = allowed & (D <= dhat)
+        if extra_mat is not None:
+            mask = mask & (extra_mat[pm[:, None], tm[None, :]] != 0.0)
+        cap = self._cap(("f_" if extra_mat is not None else "") + stem)
+        nt = len(tm)
+        flat = mask.ravel()
+        (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+        count = jnp.sum(flat)
+        # nonzero returns true indices first; fill entries all alias index 0,
+        # so validity must come from the count, not flat[idx]
+        active = jnp.arange(cap) < count
+        p_idx = idx // nt
+        t_idx = idx % nt
+        d = D.ravel()[idx]
+        return p_idx, t_idx, active, d, count, dhat.ravel()[idx]
+
+    def _ee_pairs(self, stem, Vs, Vr, dhat_mat, extra_mat=None):
+        if stem == "ee_dd":
+            EA, ea, eam = Vs, self.es, self.es_mesh
+            EB, eb, ebm = Vs, self.es, self.es_mesh
+            excl = self.ee_dd_excl
+        elif stem == "ee_dr":
+            EA, ea, eam = Vr, self.er, self.er_mesh
+            EB, eb, ebm = Vs, self.es, self.es_mesh
+            excl = np.zeros((len(eam), len(ebm)), dtype=bool)
+        else:  # ee_rr
+            EA, ea, eam = Vr, self.er, self.er_mesh
+            EB, eb, ebm = Vr, self.er, self.er_mesh
+            excl = self.ee_rr_excl
+
+        a0, a1 = EA[ea[:, 0]], EA[ea[:, 1]]
+        b0, b1 = EB[eb[:, 0]], EB[eb[:, 1]]
+        ptol = self.model.edge_edge_cross_norm_sq_cutoff
+        ee_dist = lambda x0, x1, y0, y1: nph.edge_edge_distance(
+            x0, x1, y0, y1, parallel_tol=ptol)
+        D = jax.vmap(lambda x0, x1: jax.vmap(
+            ee_dist, in_axes=(None, None, 0, 0))(x0, x1, b0, b1))(a0, a1)
+        dhat = dhat_mat[eam[:, None], ebm[None, :]]
+        allowed = jnp.asarray(self.enabled_mat[np.ix_(eam, ebm)] & ~excl)
+        mask = allowed & (D <= dhat)
+        if extra_mat is not None:
+            mask = mask & (extra_mat[eam[:, None], ebm[None, :]] != 0.0)
+        cap = self._cap(("f_" if extra_mat is not None else "") + stem)
+        nb = len(ebm)
+        flat = mask.ravel()
+        (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+        count = jnp.sum(flat)
+        active = jnp.arange(cap) < count
+        return idx // nb, idx % nb, active, D.ravel()[idx], count, dhat.ravel()[idx]
+
+    # ------------------------------------------------------------------
+    # family data builders (traced)
+    # ------------------------------------------------------------------
+    def _pt_family_data(self, stem, p_idx, t_idx, active, dhat):
+        ii = jnp.int32
+        sv_gid = jnp.asarray(self.sv_gid, ii) if len(self.sv_gid) else None
+        rows = {"active": active.astype(self.dtype), "dhat": dhat}
+        if stem == "pt_dd":
+            tri = jnp.asarray(self.ts, ii)[t_idx]
+            nodes = jnp.concatenate([sv_gid[p_idx][:, None], sv_gid[tri]], axis=1)
+            rows["nodes"] = nodes
+            conn = nodes
+        elif stem == "pt_dr":
+            tri = jnp.asarray(self.tr, ii)[t_idx]
+            rows["node_p"] = sv_gid[p_idx]
+            rows["body_b"] = jnp.asarray(self.rv_body, ii)[tri[:, 0]]
+            rows["t_loc"] = jnp.asarray(self.rv_loc, self.dtype)[tri]
+            conn = jnp.stack([
+                sv_gid[p_idx],
+                jnp.asarray(self.rv_vblock, ii)[tri[:, 0]],
+                jnp.asarray(self.rv_wblock, ii)[tri[:, 0]],
+            ], axis=1)
+        elif stem == "pt_rd":
+            tri = jnp.asarray(self.ts, ii)[t_idx]
+            rows["body_a"] = jnp.asarray(self.rv_body, ii)[p_idx]
+            rows["p_loc"] = jnp.asarray(self.rv_loc, self.dtype)[p_idx]
+            rows["nodes_t"] = sv_gid[tri]
+            conn = jnp.concatenate([
+                jnp.asarray(self.rv_vblock, ii)[p_idx][:, None],
+                jnp.asarray(self.rv_wblock, ii)[p_idx][:, None],
+                sv_gid[tri],
+            ], axis=1)
+        else:  # pt_rr
+            tri = jnp.asarray(self.tr, ii)[t_idx]
+            rows["body_a"] = jnp.asarray(self.rv_body, ii)[p_idx]
+            rows["p_loc"] = jnp.asarray(self.rv_loc, self.dtype)[p_idx]
+            rows["body_b"] = jnp.asarray(self.rv_body, ii)[tri[:, 0]]
+            rows["t_loc"] = jnp.asarray(self.rv_loc, self.dtype)[tri]
+            conn = jnp.stack([
+                jnp.asarray(self.rv_vblock, ii)[p_idx],
+                jnp.asarray(self.rv_wblock, ii)[p_idx],
+                jnp.asarray(self.rv_vblock, ii)[tri[:, 0]],
+                jnp.asarray(self.rv_wblock, ii)[tri[:, 0]],
+            ], axis=1)
+        return {"conn": conn, "rows": rows}
+
+    def _ee_family_data(self, stem, a_idx, b_idx, active, dhat):
+        ii = jnp.int32
+        sv_gid = jnp.asarray(self.sv_gid, ii) if len(self.sv_gid) else None
+        rows = {"active": active.astype(self.dtype), "dhat": dhat}
+        if stem == "ee_dd":
+            ea = jnp.asarray(self.es, ii)[a_idx]
+            eb = jnp.asarray(self.es, ii)[b_idx]
+            nodes = jnp.concatenate([sv_gid[ea], sv_gid[eb]], axis=1)
+            rows["nodes"] = nodes
+            conn = nodes
+        elif stem == "ee_dr":
+            ea = jnp.asarray(self.er, ii)[a_idx]
+            eb = jnp.asarray(self.es, ii)[b_idx]
+            rows["body_a"] = jnp.asarray(self.rv_body, ii)[ea[:, 0]]
+            rows["ea_loc"] = jnp.asarray(self.rv_loc, self.dtype)[ea]
+            rows["nodes_b"] = sv_gid[eb]
+            conn = jnp.concatenate([
+                jnp.asarray(self.rv_vblock, ii)[ea[:, 0]][:, None],
+                jnp.asarray(self.rv_wblock, ii)[ea[:, 0]][:, None],
+                sv_gid[eb],
+            ], axis=1)
+        else:  # ee_rr
+            ea = jnp.asarray(self.er, ii)[a_idx]
+            eb = jnp.asarray(self.er, ii)[b_idx]
+            rows["body_a"] = jnp.asarray(self.rv_body, ii)[ea[:, 0]]
+            rows["ea_loc"] = jnp.asarray(self.rv_loc, self.dtype)[ea]
+            rows["body_b"] = jnp.asarray(self.rv_body, ii)[eb[:, 0]]
+            rows["eb_loc"] = jnp.asarray(self.rv_loc, self.dtype)[eb]
+            conn = jnp.stack([
+                jnp.asarray(self.rv_vblock, ii)[ea[:, 0]],
+                jnp.asarray(self.rv_wblock, ii)[ea[:, 0]],
+                jnp.asarray(self.rv_vblock, ii)[eb[:, 0]],
+                jnp.asarray(self.rv_wblock, ii)[eb[:, 0]],
+            ], axis=1)
+        return {"conn": conn, "rows": rows}
+
+    # ------------------------------------------------------------------
+    # contact refresh (every Newton energy evaluation)
+    # ------------------------------------------------------------------
+    def _contacts_fn(self, glob, dhat_mat):
+        Vs, Vr = self._world(glob, glob["dt"])
+        out = {}
+        counts = {}
+        for stem in self._blocks():
+            if stem.startswith("pt"):
+                p_idx, t_idx, active, d, count, dh = self._pt_pairs(stem, Vs, Vr, dhat_mat)
+                out["contact_" + stem] = self._pt_family_data(stem, p_idx, t_idx, active, dh)
+            else:
+                a_idx, b_idx, active, d, count, dh = self._ee_pairs(stem, Vs, Vr, dhat_mat)
+                out["contact_" + stem] = self._ee_family_data(stem, a_idx, b_idx, active, dh)
+            counts[stem] = count
+        return out, counts
+
+    def refresh_contacts(self, dt):
+        glob = self._engine_glob(dt)
+        dhat_mat = self._dhat_mat()
+        key = "contacts"
+        if key not in self._jits:
+            self._jits[key] = jax.jit(self._contacts_fn)
+        while True:
+            data, counts = self._jits[key](glob, dhat_mat)
+            overflow = False
+            for stem, c in counts.items():
+                c = int(c)
+                if c > self._caps[stem]:
+                    self._caps[stem] = max(2 * self._caps[stem], int(1.5 * c))
+                    overflow = True
+            if not overflow:
+                break
+            self._jits.pop(key)
+            self._jits[key] = jax.jit(self._contacts_fn)
+        self._contact_data = data
+
+    # ------------------------------------------------------------------
+    # friction refresh (once per step, dt=0 geometry)
+    # ------------------------------------------------------------------
+    def _friction_fn(self, glob, dhat_mat, mu_mat, k):
+        zero_dt = jnp.asarray(0.0, self.dtype)
+        Vs, Vr = self._world(glob, zero_dt)
+        btype = self.model.ipc_barrier_type
+        out = {}
+        counts = {}
+        for stem in self._blocks():
+            if stem.startswith("pt"):
+                p_idx, t_idx, active, d, count, dh = self._pt_pairs(
+                    stem, Vs, Vr, dhat_mat, extra_mat=mu_mat)
+                fd = self._pt_family_data(stem, p_idx, t_idx, active, dh)
+                P = (Vs if stem in ("pt_dd", "pt_dr") else Vr)[p_idx]
+                T3 = Vs if stem in ("pt_dd", "pt_rd") else Vr
+                tri = jnp.asarray(self.ts if stem in ("pt_dd", "pt_rd") else self.tr,
+                                  jnp.int32)[t_idx]
+                t0, t1, t2 = T3[tri[:, 0]], T3[tri[:, 1]], T3[tri[:, 2]]
+                region = jax.vmap(nph.point_triangle_region)(P, t0, t1, t2)
+                fd["rows"]["bary"] = jax.vmap(nph.point_triangle_bary)(P, t0, t1, t2, region)
+                fd["rows"]["T"] = jax.vmap(nph.point_triangle_T)(P, t0, t1, t2, region)
+                pm = jnp.asarray(
+                    self.sv_mesh if stem in ("pt_dd", "pt_dr") else self.rv_mesh,
+                    jnp.int32)[p_idx]
+                tm = jnp.asarray(self.ts_mesh if stem in ("pt_dd", "pt_rd") else self.tr_mesh,
+                                 jnp.int32)[t_idx]
+                fd["rows"]["mu"] = mu_mat[pm, tm]
+                fd["rows"]["fn"] = barrier_force_wrap(d, dh, k, btype)
+                out["friction_" + stem] = fd
+            else:
+                a_idx, b_idx, active, d, count, dh = self._ee_pairs(
+                    stem, Vs, Vr, dhat_mat, extra_mat=mu_mat)
+                fd = self._ee_family_data(stem, a_idx, b_idx, active, dh)
+                EA = Vs if stem == "ee_dd" else Vr
+                EB = Vs if stem in ("ee_dd", "ee_dr") else Vr
+                ea = jnp.asarray(self.es if stem == "ee_dd" else self.er, jnp.int32)[a_idx]
+                eb = jnp.asarray(self.es if stem in ("ee_dd", "ee_dr") else self.er,
+                                 jnp.int32)[b_idx]
+                a0, a1 = EA[ea[:, 0]], EA[ea[:, 1]]
+                b0, b1 = EB[eb[:, 0]], EB[eb[:, 1]]
+                ptol = self.model.edge_edge_cross_norm_sq_cutoff
+                region = jax.vmap(nph.edge_edge_region, in_axes=(0, 0, 0, 0, None))(
+                    a0, a1, b0, b1, ptol)
+                s, t = jax.vmap(nph.edge_edge_params)(a0, a1, b0, b1, region)
+                fd["rows"]["s"] = s
+                fd["rows"]["t"] = t
+                fd["rows"]["T"] = jax.vmap(nph.edge_edge_T)(a0, a1, b0, b1, region)
+                am = jnp.asarray(self.es_mesh if stem == "ee_dd" else self.er_mesh,
+                                 jnp.int32)[a_idx]
+                bm = jnp.asarray(self.es_mesh if stem in ("ee_dd", "ee_dr") else self.er_mesh,
+                                 jnp.int32)[b_idx]
+                fd["rows"]["mu"] = mu_mat[am, bm]
+                fd["rows"]["fn"] = barrier_force_wrap(d, dh, k, btype)
+                out["friction_" + stem] = fd
+            counts["f_" + stem] = count
+        return out, counts
+
+    def refresh_friction(self, dt):
+        glob = self._engine_glob(dt)
+        dhat_mat = self._dhat_mat()
+        mu_mat = self._mu_mat()
+        if not bool(np.any(np.asarray(mu_mat) != 0.0)):
+            self._friction_data = {}
+            return
+        k = jnp.asarray(self.model.contact_stiffness, self.dtype)
+        key = "friction"
+        if key not in self._jits:
+            self._jits[key] = jax.jit(self._friction_fn)
+        while True:
+            data, counts = self._jits[key](glob, dhat_mat, mu_mat, k)
+            overflow = False
+            for name, c in counts.items():
+                c = int(c)
+                if c > self._caps[name]:
+                    self._caps[name] = max(2 * self._caps[name], int(1.5 * c))
+                    overflow = True
+            if not overflow:
+                break
+            self._jits.pop(key)
+            self._jits[key] = jax.jit(self._friction_fn)
+        self._friction_data = data
+
+    # ------------------------------------------------------------------
+    # intersection oracle
+    # ------------------------------------------------------------------
+    def _intersect_fn(self, glob):
+        Vs, Vr = self._world(glob, glob["dt"])
+        hit = jnp.zeros((), bool)
+
+        def run(E, edges, T, tris, excl):
+            p0, p1 = E[edges[:, 0]], E[edges[:, 1]]
+            t0, t1, t2 = T[tris[:, 0]], T[tris[:, 1]], T[tris[:, 2]]
+            H = jax.vmap(lambda a, b: jax.vmap(
+                nph.segment_triangle_intersects, in_axes=(None, None, 0, 0, 0))(
+                    a, b, t0, t1, t2))(p0, p1)
+            return jnp.any(H & jnp.asarray(~excl))
+
+        # soft edges vs soft tris / rigid tris; rigid edges vs soft tris / rigid tris
+        if len(self.es) and len(self.ts):
+            hit |= run(Vs, jnp.asarray(self.es), Vs, jnp.asarray(self.ts), self.et_ss_excl)
+        if len(self.es) and len(self.tr):
+            hit |= run(Vs, jnp.asarray(self.es), Vr, jnp.asarray(self.tr),
+                       np.zeros((len(self.es), len(self.tr)), dtype=bool))
+        if len(self.er) and len(self.ts):
+            hit |= run(Vr, jnp.asarray(self.er), Vs, jnp.asarray(self.ts),
+                       np.zeros((len(self.er), len(self.ts)), dtype=bool))
+        if len(self.er) and len(self.tr):
+            # same-mesh rigid self-intersection cannot change; exclude same mesh
+            excl = self.et_rr_excl | (self.er_mesh[:, None] == self.tr_mesh[None, :])
+            hit |= run(Vr, jnp.asarray(self.er), Vr, jnp.asarray(self.tr), excl)
+        return hit
+
+    def has_intersection(self, dt) -> bool:
+        glob = self._engine_glob(dt)
+        key = "intersect"
+        if key not in self._jits:
+            self._jits[key] = jax.jit(self._intersect_fn)
+        return bool(self._jits[key](glob))
+
+    # ------------------------------------------------------------------
+    def current_family_data(self):
+        data = dict(self._contact_data)
+        if self.model.global_params.friction_enabled:
+            data.update(self._friction_data)
+        return data
+
+    def glob_entries(self):
+        return {
+            "contact_k": jnp.asarray(self.model.contact_stiffness, self.dtype),
+            "friction_epsv": jnp.asarray(
+                self.model.global_params.friction_stick_slide_threshold, self.dtype),
+        }
+
+
+def barrier_force_wrap(d, dhat, k, barrier_type):
+    from .contact_energies import barrier_force
+
+    return barrier_force(d, dhat, k, barrier_type)

@@ -94,7 +94,9 @@ class NewtonsMethod:
         self._jit_energy = jax.jit(self._energy)
         self._jit_egh = jax.jit(self._energy_grad_hess)
         self._jit_project_all = jax.jit(
-            partial(project.project_all), static_argnames=("mirroring",))
+            project.project_all, static_argnames=("eps", "mirroring"))
+        self._jit_project_sel = jax.jit(
+            project.project_selective, static_argnames=("eps", "mirroring"))
         self._jit_cg = jax.jit(self._cg_stage, static_argnames=("stop_on_indef",))
         self._jit_cg_direct = jax.jit(self._direct_stage)
         self._jit_apply_du = jax.jit(lambda u0, du, s: u0 + s * du)
@@ -262,13 +264,13 @@ class NewtonsMethod:
             if mode == ProjectionToPD.Newton:
                 return hess_raw, False, 0
             if mode == ProjectionToPD.ProjectedNewton:
-                hess, n = project.project_all(hess_raw, s.projection_eps,
-                                              s.project_to_pd_use_mirroring)
+                hess, n = self._jit_project_all(hess_raw, s.projection_eps,
+                                                s.project_to_pd_use_mirroring, data)
                 return hess, True, int(n)
             if mode == ProjectionToPD.ProjectOnDemand:
                 if self._pdn_countdown > 0:
-                    hess, n = project.project_all(hess_raw, s.projection_eps,
-                                                  s.project_to_pd_use_mirroring)
+                    hess, n = self._jit_project_all(hess_raw, s.projection_eps,
+                                                    s.project_to_pd_use_mirroring)
                     return hess, True, int(n)
                 return hess_raw, False, 0
             if mode == ProjectionToPD.Progressive:
@@ -280,7 +282,7 @@ class NewtonsMethod:
                     self._ppn_threshold = 0.0
                 block_mask = jnp.max(jnp.abs(grad), axis=1) >= thr
                 all_projected = bool(jnp.all(block_mask))
-                hess, n = project.project_selective(
+                hess, n = self._jit_project_sel(
                     hess_raw, data, s.projection_eps,
                     s.project_to_pd_use_mirroring, block_mask)
                 return hess, all_projected, int(n)

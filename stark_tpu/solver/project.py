@@ -35,14 +35,18 @@ def project_family_to_pd(H, eps: float, mirroring: bool, elem_mask=None):
     return H_out, changed
 
 
-def project_all(hess: Dict[str, jnp.ndarray], eps: float, mirroring: bool):
+def project_all(hess: Dict[str, jnp.ndarray], eps: float, mirroring: bool,
+                data=None):
     """ProjectedNewton mode: project every element Hessian
-    (ElementHessians project_to_PD_inplace__all)."""
+    (ElementHessians project_to_PD_inplace__all). `data` restricts the
+    changed-count to active rows (padded zero Hessians always "change")."""
     out = {}
     n_changed = jnp.zeros((), dtype=jnp.int32)
     for name, H in hess.items():
         Hp, changed = project_family_to_pd(H, eps, mirroring)
         out[name] = Hp
+        if data is not None:
+            changed = jnp.logical_and(changed, data[name]["rows"]["active"] > 0.5)
         n_changed = n_changed + jnp.sum(changed.astype(jnp.int32))
     return out, n_changed
 
@@ -56,7 +60,8 @@ def project_selective(hess: Dict[str, jnp.ndarray], data, eps: float,
     n_changed = jnp.zeros((), dtype=jnp.int32)
     for name, H in hess.items():
         conn = data[name]["conn"]
-        elem_mask = jnp.any(block_mask[conn], axis=1)
+        elem_mask = jnp.logical_and(jnp.any(block_mask[conn], axis=1),
+                                    data[name]["rows"]["active"] > 0.5)
         Hp, changed = project_family_to_pd(H, eps, mirroring, elem_mask)
         out[name] = Hp
         n_changed = n_changed + jnp.sum(changed.astype(jnp.int32))
