@@ -20,6 +20,19 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache — the analog of the reference's SHA-keyed
+# kernel cache (symx Compilation.cpp:59-121 caches dlopen'ed .so files by
+# expression checksum; warm starts skip codegen entirely). Critical on TPU
+# where compiles go through a remote-compile service.
+_cache_dir = os.environ.get("STARK_TPU_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/stark_tpu_xla"))
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from .simulation import Simulation  # noqa: E402,F401
 from .core.settings import Settings  # noqa: E402,F401
 

@@ -144,10 +144,12 @@ def point_triangle_bary(p, t0, t1, t2, region):
     fv = (d11 * d20 - d01 * d21) / denom
     fw = (d00 * d21 - d01 * d20) / denom
     fu = 1.0 - fv - fw
+    one = jnp.ones((), p.dtype)
+    zz = jnp.zeros((), p.dtype)
     cands = jnp.stack([
-        jnp.array([1.0, 0.0, 0.0]),
-        jnp.array([0.0, 1.0, 0.0]),
-        jnp.array([0.0, 0.0, 1.0]),
+        jnp.stack([one, zz, zz]),
+        jnp.stack([zz, one, zz]),
+        jnp.stack([zz, zz, one]),
         jnp.stack([u0, v0, jnp.zeros(())]),
         jnp.stack([jnp.zeros(()), u1, v1]),
         jnp.stack([v2, jnp.zeros(()), u2]),
@@ -160,8 +162,8 @@ def _proj_point_point(p, q):
     # friction_geometry.cpp projection_matrix_point_point
     n = maths.normalized(p - q)
     e = jnp.where(n[2] < 0.99,
-                  jnp.array([0.0, 0.0, 1.0]),
-                  jnp.array([1.0, 0.0, 0.0]))
+                  jnp.array([0.0, 0.0, 1.0], dtype=n.dtype),
+                  jnp.array([1.0, 0.0, 0.0], dtype=n.dtype))
     u = maths.normalized(jnp.cross(e, n))
     v = maths.normalized(jnp.cross(u, n))
     return jnp.stack([u, v])

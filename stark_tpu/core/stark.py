@@ -69,9 +69,13 @@ class Stark:
     def add_init_hook(self, f: Callable[[], None]):
         self._init_hooks.append(f)
 
-    def connect(self, *, n_blocks_fn, get_dofs, set_dofs, get_glob, get_data):
+    def connect(self, *, n_blocks_fn, get_dofs, set_dofs, get_glob, get_data,
+                get_static_data=None, get_friction_data=None, get_engine=None):
         self._connector = dict(n_blocks_fn=n_blocks_fn, get_dofs=get_dofs,
-                               set_dofs=set_dofs, get_glob=get_glob, get_data=get_data)
+                               set_dofs=set_dofs, get_glob=get_glob, get_data=get_data,
+                               get_static_data=get_static_data,
+                               get_friction_data=get_friction_data,
+                               get_engine=get_engine)
 
     # ------------------------------------------------------------------
     def run(self, duration: float = math.inf, callback: Optional[Callable[[], None]] = None) -> bool:
@@ -197,6 +201,9 @@ class Stark:
             get_glob=c["get_glob"],
             get_dofs=c["get_dofs"],
             set_dofs=c["set_dofs"],
+            get_static_data=c.get("get_static_data"),
+            get_friction_data=c.get("get_friction_data"),
+            get_engine=c.get("get_engine"),
         )
         self._write_frame()
         self.callbacks.run_before_simulation()

@@ -26,6 +26,7 @@ import numpy as np
 from ... import maths
 from ...solver.potential import FamilyData, PotentialFamily
 from ..point_dynamics import PointSetHandler
+from ..types import FluentParams
 
 _EPS = 1e-12
 
@@ -62,7 +63,7 @@ class _HandlerBase:
 # Lumped inertia
 # ============================================================================
 @dataclass
-class LumpedInertiaParams:
+class LumpedInertiaParams(FluentParams):
     density: float = 1000.0
     damping: float = 0.0
     quasistatic: bool = False
@@ -168,9 +169,25 @@ class EnergyLumpedInertia:
 # Prescribed positions (penalty BCs + animated targets)
 # ============================================================================
 @dataclass
-class PrescribedPositionsParams:
+class PrescribedPositionsParams(FluentParams):
     stiffness: float = 1e7
     tolerance: float = 1e-4
+
+
+class PrescribedPositionsHandler(_HandlerBase):
+    """Adds the animated-BC surface (twisting_cloth/spinning scripts drive
+    motion through set_transformation, EnergyPrescribedPositions.cpp:107-131)."""
+
+    def set_transformation(self, t, angle_deg=0.0, axis=(0, 0, 1), R=None):
+        if R is None:
+            self._model.set_transformation(self._idx, t, angle_deg=angle_deg, axis=axis)
+        else:
+            self._model.set_transformation(self._idx, t, R=R)
+        return self
+
+    def set_target_position(self, prescribed_idx, t):
+        self._model.set_target_position(self._idx, prescribed_idx, t)
+        return self
 
 
 class EnergyPrescribedPositions:
@@ -220,7 +237,7 @@ class EnergyPrescribedPositions:
             self.target_positions.append(x[gi].copy())
             self.rest_positions.append(x[gi].copy())
         self.group_begin_end.append((begin, len(self.target_positions)))
-        return _HandlerBase(self, group)
+        return PrescribedPositionsHandler(self, group)
 
     def add_inside_aabb(self, set_: PointSetHandler, aabb_center, aabb_dim, params):
         c = np.asarray(aabb_center)
@@ -286,7 +303,7 @@ class EnergyPrescribedPositions:
 # Segment (rod) strain
 # ============================================================================
 @dataclass
-class SegmentStrainParams:
+class SegmentStrainParams(FluentParams):
     elasticity_only: bool = False
     scale: float = 1.0
     section_radius: float = 0.001
@@ -383,7 +400,7 @@ class EnergySegmentStrain:
 # Triangle strain (2D Neo-Hookean membrane)
 # ============================================================================
 @dataclass
-class TriangleStrainParams:
+class TriangleStrainParams(FluentParams):
     elasticity_only: bool = False
     scale: float = 1.0
     thickness: float = 0.001
@@ -529,7 +546,7 @@ class EnergyTriangleStrain:
 # Discrete shells bending
 # ============================================================================
 @dataclass
-class DiscreteShellsParams:
+class DiscreteShellsParams(FluentParams):
     scale: float = 1.0
     stiffness: float = 1.0
     damping: float = 0.0
@@ -657,7 +674,7 @@ class EnergyDiscreteShells:
 # Tet strain (Stable Neo-Hookean)
 # ============================================================================
 @dataclass
-class TetStrainParams:
+class TetStrainParams(FluentParams):
     elasticity_only: bool = False
     scale: float = 1.0
     youngs_modulus: float = 1e6

@@ -18,8 +18,10 @@ class DeformablesMeshOutput:
         self.groups = []  # (label, kind, global_conn)
         stark.callbacks.add_write_frame(self._write_frame)
 
-    def _add(self, label, kind, set_, conn):
+    def _add(self, label, kind, set_, conn, point_set_map=None):
         conn = np.asarray(conn, dtype=np.int64)
+        if point_set_map is not None:
+            conn = np.asarray(point_set_map, dtype=np.int64)[conn]
         gconn = set_.get_global_indices(conn) if conn.size else conn
         self.groups.append((label, kind, gconn))
 
@@ -27,14 +29,14 @@ class DeformablesMeshOutput:
         idx = np.arange(set_.size()) if points is None else np.asarray(points)
         self._add(label, "points", set_, idx.reshape(-1, 1))
 
-    def add_segment_mesh(self, label, set_, segments):
-        self._add(label, "segments", set_, segments)
+    def add_segment_mesh(self, label, set_, segments, point_set_map=None):
+        self._add(label, "segments", set_, segments, point_set_map)
 
-    def add_triangle_mesh(self, label, set_, triangles):
-        self._add(label, "triangles", set_, triangles)
+    def add_triangle_mesh(self, label, set_, triangles, point_set_map=None):
+        self._add(label, "triangles", set_, triangles, point_set_map)
 
-    def add_tet_mesh(self, label, set_, tets):
-        self._add(label, "tets", set_, tets)
+    def add_tet_mesh(self, label, set_, tets, point_set_map=None):
+        self._add(label, "tets", set_, tets, point_set_map)
 
     def _write_frame(self):
         if not self.groups or not self.stark.settings.output.output_directory:

@@ -33,6 +33,7 @@ import numpy as np
 
 from ...solver.potential import PotentialFamily
 from ... import maths
+from ..types import FluentParams
 
 
 class IPCBarrierType:
@@ -46,12 +47,12 @@ class IPCFrictionType:
 
 
 @dataclass
-class ContactParams:
+class ContactParams(FluentParams):
     contact_thickness: float = 0.0   # 0.0 -> use global default
 
 
 @dataclass
-class ContactGlobalParams:
+class ContactGlobalParams(FluentParams):
     # EnergyFrictionalContact.h:20-35
     default_contact_thickness: float = -1.0
     min_contact_stiffness: float = 1e6
@@ -122,6 +123,9 @@ class EnergyFrictionalContact:
 
         self._frozen = False
         self._engine = None  # built at freeze: device-side collision pipeline
+        # set by the fused solver while running host converged-state checks
+        # (the device already performed the intersection test)
+        self._suppress_converged_intersection = False
 
         stark.callbacks.add_before_time_step(self._before_time_step)
         stark.callbacks.newton.add_before_energy_evaluation(self._before_energy_evaluation)
@@ -282,6 +286,8 @@ class EnergyFrictionalContact:
     def _is_converged_state_valid(self) -> bool:
         # the reference registers the same intersection test for the
         # converged state (EnergyFrictionalContact.cpp:25)
+        if self._suppress_converged_intersection:
+            return True
         return self._is_intermediate_state_valid(initial=False)
 
     def _on_time_step_accepted(self):

@@ -86,7 +86,7 @@ def friction_potential(v_rel, fn, mu, T, epsv, dt, friction_type: str):
     deliberate fixed perturbation for differentiability at u=0."""
     PERT = 1e-9
     vt = T @ v_rel
-    ut = vt * dt + jnp.array([1.13 * PERT, -1.07 * PERT])
+    ut = vt * dt + jnp.array([1.13 * PERT, -1.07 * PERT], dtype=vt.dtype)
     u = jnp.sqrt(jnp.dot(ut, ut))
     epsu = dt * epsv
     if friction_type == "C0":
@@ -115,8 +115,8 @@ def _pt_barrier(model_cfg, p, t0, t1, t2, row, glob):
 
 def _ee_barrier(model_cfg, ea0, ea1, eb0, eb1, EA0, EA1, EB0, EB1, row, glob):
     active = row["active"] > 0.5
-    eb0 = jnp.where(active, eb0, ea0 + jnp.array([1.0, 0.0, 0.0]))
-    eb1 = jnp.where(active, eb1, ea1 + jnp.array([1.0, 0.0, 1.0]))
+    eb0 = jnp.where(active, eb0, ea0 + jnp.array([1.0, 0.0, 0.0], dtype=ea0.dtype))
+    eb1 = jnp.where(active, eb1, ea1 + jnp.array([1.0, 0.0, 1.0], dtype=ea0.dtype))
     d = nph.edge_edge_distance(ea0, ea1, eb0, eb1,
                                parallel_tol=model_cfg["parallel_tol"])
     m = nph.edge_edge_mollifier(ea0, ea1, eb0, eb1, EA0, EA1, EB0, EB1)

@@ -424,6 +424,51 @@ class ContactEngine:
             counts[stem] = count
         return out, counts
 
+    def glob_from_u(self, u, state, dt):
+        """Engine glob with trial velocities taken from the DOF vector
+        (for fused device-side solves)."""
+        glob = {"dt": dt}
+        ns = self.n_soft
+        if len(self.sv_gid):
+            glob["x0"] = state["x0"]
+            glob["soft_v1"] = u[:ns]
+        if len(self.rv_body):
+            glob["rb_t0"] = state["rb_t0"]
+            glob["rb_q0"] = state["rb_q0"]
+            rw = u[ns:].reshape(-1, 2, 3)
+            glob["rb_v1"] = rw[:, 0]
+            glob["rb_w1"] = rw[:, 1]
+        return glob
+
+    def engine_state(self):
+        """Per-solve-constant state arrays (positions/orientations at step
+        start). Host pushes these once per solve."""
+        m = self.model
+        d = self.dtype
+        state = {}
+        if len(self.sv_gid):
+            state["x0"] = m.dyn.x0
+        if len(self.rv_body):
+            state["rb_t0"] = jnp.asarray(m.rb_dyn.t0, d)
+            state["rb_q0"] = jnp.asarray(m.rb_dyn.q0, d)
+        return state
+
+    @staticmethod
+    def _stack_counts(counts):
+        """Single small int array so the host pulls ONE transfer."""
+        keys = sorted(counts.keys())
+        return keys, jnp.stack([counts[k] for k in keys])
+
+    def _check_overflow(self, keys, counts_arr) -> bool:
+        counts_np = np.asarray(counts_arr)
+        overflow = False
+        for k, c in zip(keys, counts_np):
+            c = int(c)
+            if c > self._caps[k]:
+                self._caps[k] = max(2 * self._caps[k], int(1.5 * c))
+                overflow = True
+        return overflow
+
     def refresh_contacts(self, dt):
         glob = self._engine_glob(dt)
         dhat_mat = self._dhat_mat()
@@ -432,13 +477,8 @@ class ContactEngine:
             self._jits[key] = jax.jit(self._contacts_fn)
         while True:
             data, counts = self._jits[key](glob, dhat_mat)
-            overflow = False
-            for stem, c in counts.items():
-                c = int(c)
-                if c > self._caps[stem]:
-                    self._caps[stem] = max(2 * self._caps[stem], int(1.5 * c))
-                    overflow = True
-            if not overflow:
+            keys, arr = self._stack_counts(counts)
+            if not self._check_overflow(keys, arr):
                 break
             self._jits.pop(key)
             self._jits[key] = jax.jit(self._contacts_fn)
@@ -515,13 +555,8 @@ class ContactEngine:
             self._jits[key] = jax.jit(self._friction_fn)
         while True:
             data, counts = self._jits[key](glob, dhat_mat, mu_mat, k)
-            overflow = False
-            for name, c in counts.items():
-                c = int(c)
-                if c > self._caps[name]:
-                    self._caps[name] = max(2 * self._caps[name], int(1.5 * c))
-                    overflow = True
-            if not overflow:
+            keys, arr = self._stack_counts(counts)
+            if not self._check_overflow(keys, arr):
                 break
             self._jits.pop(key)
             self._jits[key] = jax.jit(self._friction_fn)

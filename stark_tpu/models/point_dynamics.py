@@ -76,6 +76,25 @@ class PointSetHandler:
             self._dyn._v1_host[b:e] = v
             self._dyn._v0_host[b:e] = v
 
+    # -- pre-freeze transforms (PointSetHandler add_rotation/add_displacement) --
+    def _transform(self, f):
+        if self._dyn.frozen:
+            raise RuntimeError("cannot transform a point set after the simulation started")
+        b, e = self._dyn.intervals[self._idx]
+        for arr in (self._dyn._X_host, self._dyn._x0_host):
+            arr[b:e] = f(arr[b:e])
+        return self
+
+    def add_rotation(self, angle_deg: float, axis, pivot=(0.0, 0.0, 0.0)):
+        from ..utils.mesh_utils import rotate_deg
+
+        return self._transform(lambda x: rotate_deg(x, angle_deg, axis, pivot))
+
+    def add_displacement(self, t):
+        import numpy as _np
+
+        return self._transform(lambda x: x + _np.asarray(t))
+
     def exit_if_not_valid(self, where: str):
         if self._idx < 0 or self._idx >= len(self._dyn.intervals):
             raise RuntimeError(f"invalid PointSetHandler in {where}")

@@ -73,6 +73,14 @@ class Simulation:
             set_dofs=self._set_dofs,
             get_glob=self._get_glob,
             get_data=self._get_data,
+            get_static_data=self._get_static_data,
+            get_friction_data=lambda: dict(
+                self.interactions.contact._engine._friction_data)
+            if (self.interactions.contact._engine is not None
+                and self.interactions.contact.enabled
+                and self.interactions.contact.global_params.friction_enabled) else {},
+            get_engine=lambda: (self.interactions.contact._engine
+                                if self.interactions.contact.enabled else None),
         )
 
     # ------------------------------------------------------------------
@@ -182,6 +190,10 @@ class Simulation:
         data = dict(self._device_data)
         data.update(self.interactions.dynamic_family_data())
         return data
+
+    def _get_static_data(self):
+        self._refresh_dirty()
+        return dict(self._device_data)
 
     def _get_glob(self):
         dtype = self.stark.dtype

@@ -14,6 +14,7 @@ Progressive-PPN) and their escalation rules follow NewtonsMethod.cpp:254-386.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from enum import Enum
 from functools import partial
@@ -75,7 +76,10 @@ class NewtonsMethod:
     def __init__(self, families, n_blocks: int, callbacks: SolverCallbacks,
                  settings: NewtonSettings, logger: Logger, output: OutputSink,
                  get_data: Callable, get_glob: Callable,
-                 get_dofs: Callable, set_dofs: Callable):
+                 get_dofs: Callable, set_dofs: Callable,
+                 get_static_data: Optional[Callable] = None,
+                 get_friction_data: Optional[Callable] = None,
+                 get_engine: Optional[Callable] = None):
         self.families = families
         self.n_blocks = n_blocks
         self.callbacks = callbacks
@@ -86,7 +90,12 @@ class NewtonsMethod:
         self.get_glob = get_glob
         self.get_dofs = get_dofs
         self.set_dofs = set_dofs
+        self.get_static_data = get_static_data
+        self.get_friction_data = get_friction_data
+        self.get_engine = get_engine
         self.stats = SolveStats()
+        self._fused_jit = None
+        self._fused_count_keys = []
 
         (self._energy, self._energy_grad, self._energy_grad_hess,
          self._hvp, self._diag_blocks) = assembly.make_evaluators(families, n_blocks)
@@ -134,9 +143,140 @@ class NewtonsMethod:
         return du.reshape(n, 3), ok
 
     # ------------------------------------------------------------------
+    # fused device-side solve (one dispatch + one pull per step; fused.py)
+    # ------------------------------------------------------------------
+    def _fused_eligible(self) -> bool:
+        if os.environ.get("STARK_TPU_NO_FUSED") == "1":
+            return False
+        s = self.settings
+        cb = self.callbacks
+        return (self.get_static_data is not None
+                and s.linear_solver == LinearSolver.BDPCG
+                and s.projection_mode in (ProjectionToPD.ProjectedNewton,
+                                          ProjectionToPD.Newton)
+                and cb.residual is None
+                and not cb.max_allowed_step
+                and not cb.is_converged)
+
+    def _build_fused(self):
+        from .fused import build_fused_solve
+
+        engine = self.get_engine() if self.get_engine is not None else None
+        fn, keys = build_fused_solve(self, engine)
+        opts = None
+        if jax.default_backend() not in ("cpu",):
+            # the big fused program trips XLA:TPU's default 16MiB scoped-vmem
+            # budget in a prefix-scan fusion; raise it (v5e has headroom)
+            opts = {"xla_tpu_scoped_vmem_limit_kib": 32768}
+        self._fused_jit = jax.jit(fn, compiler_options=opts)
+        self._fused_count_keys = keys
+        return engine
+
+    def _solve_fused(self) -> SolverReturn:
+        s = self.settings
+        self.stats = SolveStats()
+        engine = self.get_engine() if self.get_engine is not None else None
+        if self._fused_jit is None:
+            self._build_fused()
+
+        data_static = self.get_static_data()
+        friction = self.get_friction_data() if self.get_friction_data else {}
+        glob = self.get_glob()
+        u0 = self.get_dofs()
+        dtype = u0.dtype
+        if engine is not None:
+            eng_state = engine.engine_state()
+            dhat = engine._dhat_mat()
+        else:
+            eng_state = {}
+            dhat = jnp.zeros((0, 0), dtype)
+        params = {
+            "max_iterations": jnp.asarray(min(s.max_iterations, 2**31 - 1), jnp.int32),
+            "min_iterations": jnp.asarray(s.min_iterations, jnp.int32),
+            "residual_tolerance_abs": jnp.asarray(s.residual_tolerance_abs, dtype),
+            "residual_tolerance_rel": jnp.asarray(s.residual_tolerance_rel, dtype),
+            "bailout_residual": jnp.asarray(s.bailout_residual, dtype),
+            "step_tolerance": jnp.asarray(s.step_tolerance, dtype),
+            "step_cap": jnp.asarray(min(s.step_cap, np.finfo(np.float32).max), dtype),
+            "cg_abs_tolerance": jnp.asarray(s.cg_abs_tolerance, dtype),
+            "cg_rel_tolerance": jnp.asarray(s.cg_rel_tolerance, dtype),
+        }
+
+        with self.logger.time("fused_solve"):
+            while True:
+                u_out, packed = self._fused_jit(u0, data_static, friction, glob,
+                                                eng_state, dhat, params)
+                packed = np.asarray(packed)  # the ONE host pull
+                counts = packed[10:]
+                if engine is not None and self._fused_count_keys and \
+                        engine._check_overflow(self._fused_count_keys, counts):
+                    # pair-buffer overflow: bump caps and re-trace (the
+                    # static-shape analog of dynamic pair arrays)
+                    self._build_fused()
+                    continue
+                break
+
+        code = int(packed[0])
+        self.set_dofs(u_out)
+
+        st = self.stats
+        st.newton_iterations = int(packed[1])
+        st.cg_iterations = int(packed[2])
+        st.ls_cap_iterations = int(packed[3])
+        st.ls_inv_iterations = int(packed[4])
+        st.ls_bt_iterations = int(packed[5])
+        st.n_projected_hessians = int(packed[6])
+        st.n_hessians = int(packed[7])
+        if st.n_hessians > 0:
+            st.projected_hessians_ratio = st.n_projected_hessians / st.n_hessians
+        self.logger.add_and_append("newton_iterations", st.newton_iterations)
+        self.logger.add_and_append("cg_iterations", st.cg_iterations)
+        self.logger.append("projected_hessians_ratio", st.projected_hessians_ratio)
+        for key, n in (("ls_cap", st.ls_cap_iterations), ("ls_inv", st.ls_inv_iterations),
+                       ("ls_bt", st.ls_bt_iterations)):
+            self.logger.add_and_append(key, n)
+
+        code_map = {
+            1: SolverReturn.Successful,
+            2: SolverReturn.InvalidInitialState,
+            3: SolverReturn.TooManyIterations,
+            4: SolverReturn.TooManyArmijoIterations,
+            5: SolverReturn.LinearSystemSolveFailure,
+            6: SolverReturn.TooManyInvalidIntermediateIterations,
+            9: SolverReturn.InvalidConvergedState,
+        }
+        result = code_map.get(code, SolverReturn.LinearSystemSolveFailure)
+
+        if result == SolverReturn.TooManyInvalidIntermediateIterations:
+            self.callbacks.run_on_intermediate_state_invalid()
+        if result == SolverReturn.TooManyArmijoIterations:
+            self.callbacks.run_on_armijo_fail()
+        if result == SolverReturn.Successful:
+            # host-side converged-state checks (constraint/prescribed/
+            # attachment tolerances with stiffness hardening); the contact
+            # intersection part already ran on device (code 9), so the
+            # contact model's own converged callback is suppressed
+            model = engine.model if engine is not None else None
+            if model is not None:
+                model._suppress_converged_intersection = True
+            try:
+                ok = self.callbacks.run_is_converged_state_valid()
+            finally:
+                if model is not None:
+                    model._suppress_converged_intersection = False
+            if not ok:
+                result = SolverReturn.InvalidConvergedState
+        return result
+
+    # ------------------------------------------------------------------
     # main solve (NewtonsMethod.cpp:28-252)
     # ------------------------------------------------------------------
     def solve(self) -> SolverReturn:
+        if self._fused_eligible():
+            return self._solve_fused()
+        return self._solve_staged()
+
+    def _solve_staged(self) -> SolverReturn:
         s = self.settings
         self.stats = SolveStats()
         result = SolverReturn.Running

@@ -94,6 +94,39 @@ def find_perimeter_edges(triangles, n_nodes: int):
     return reduce_connectivity(per, n_nodes)
 
 
+def gather(data, indices):
+    return np.asarray(data)[np.asarray(indices, dtype=np.int64)]
+
+
+def find_sharp_edges(vertices, triangles, angle_deg_threshold: float):
+    """Edges whose incident triangles' dihedral angle deviates from flat by
+    more than the threshold (mesh_utils.cpp find_sharp_edges). Returns
+    (edges_in_reduced_numbering, new_to_old_map)."""
+    vertices = np.asarray(vertices, dtype=np.float64)
+    triangles = np.asarray(triangles, dtype=np.int64)
+    internal = find_internal_angles(triangles, len(vertices))
+    sharp = []
+    thr = math.cos(deg2rad(angle_deg_threshold))
+    for i, j, k, l in internal:
+        e0 = vertices[j] - vertices[i]
+        n0 = np.cross(e0, vertices[k] - vertices[i])
+        n1 = -np.cross(e0, vertices[l] - vertices[i])
+        c = np.dot(n0, n1) / max(np.linalg.norm(n0) * np.linalg.norm(n1), 1e-300)
+        # angle between normals > threshold -> crease
+        if c < thr:
+            sharp.append([i, j])
+    # boundary (perimeter) edges are sharp too
+    count = defaultdict(int)
+    for t in triangles:
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            count[(min(t[a], t[b]), max(t[a], t[b]))] += 1
+    for e, c in count.items():
+        if c == 1:
+            sharp.append(list(e))
+    sharp = np.asarray(sharp, dtype=np.int64).reshape(-1, 2)
+    return reduce_connectivity(sharp, len(vertices))
+
+
 def triangle_normal(p0, p1, p2):
     n = np.cross(p1 - p0, p2 - p0)
     return n / np.linalg.norm(n)

@@ -10,6 +10,11 @@ jax.config (env edits are too late) and XLA_FLAGS before first backend use.
 """
 import os
 
+# CPU tests don't want the persistent compile cache (risk of loading AOT
+# artifacts compiled with mismatched host features); it exists for the TPU
+# remote-compile path.
+os.environ["STARK_TPU_COMPILE_CACHE"] = ""
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

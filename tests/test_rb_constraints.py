@@ -18,7 +18,7 @@ MASS = float(_rng.uniform(0.0, 100.0))
 PERTURBATION = float(_rng.uniform(0.0, 100.0)) + 10.0
 
 
-def test_settings(name):
+def make_settings(name):
     s = Settings()
     s.output.simulation_name = name
     s.output.enable_output = False
@@ -38,7 +38,7 @@ def _box(sim):
 
 
 def test_inertia():
-    s = test_settings("inertia")
+    s = make_settings("inertia")
     s.simulation.gravity = (PERTURBATION, 0.0, 0.0)
     sim = Simulation(s)
     box0 = _box(sim)
@@ -50,7 +50,7 @@ def test_inertia():
 
 
 def test_global_point():
-    sim = Simulation(test_settings("global_point"))
+    sim = Simulation(make_settings("global_point"))
     box0 = _box(sim)
     constraint = sim.rigidbodies.add_constraint_global_point(box0, box0.get_translation())
     box0.add_force_at_centroid([PERTURBATION, 0, 0])
@@ -61,7 +61,7 @@ def test_global_point():
 
 
 def test_global_direction():
-    sim = Simulation(test_settings("global_direction"))
+    sim = Simulation(make_settings("global_direction"))
     box0 = _box(sim)
     constraint = sim.rigidbodies.add_constraint_global_direction(box0, [0.0, 0.0, 1.0])
     box0.add_torque([PERTURBATION, 0, 0])
@@ -72,7 +72,7 @@ def test_global_direction():
 
 
 def test_point():
-    sim = Simulation(test_settings("point"))
+    sim = Simulation(make_settings("point"))
     box0 = _box(sim)
     sim.rigidbodies.add_constraint_fix(box0)
     box1 = _box(sim).set_translation([0.1, 0.0, 0.0])
@@ -85,7 +85,7 @@ def test_point():
 
 
 def test_point_on_axis():
-    sim = Simulation(test_settings("point_on_axis"))
+    sim = Simulation(make_settings("point_on_axis"))
     box0 = _box(sim)
     sim.rigidbodies.add_constraint_fix(box0)
     box1 = _box(sim).set_translation([0.1, 0.0, 0.0])
@@ -99,7 +99,7 @@ def test_point_on_axis():
 
 
 def test_distance():
-    sim = Simulation(test_settings("distance"))
+    sim = Simulation(make_settings("distance"))
     box0 = _box(sim)
     sim.rigidbodies.add_constraint_fix(box0)
     box1 = _box(sim).set_translation([1.0, 0.0, 0.0])
@@ -113,7 +113,7 @@ def test_distance():
 
 
 def test_distance_limits_max():
-    sim = Simulation(test_settings("distance_limits_max"))
+    sim = Simulation(make_settings("distance_limits_max"))
     box0 = _box(sim)
     sim.rigidbodies.add_constraint_fix(box0)
     box1 = _box(sim).set_translation([1.0, 0.0, 0.0])
@@ -127,7 +127,7 @@ def test_distance_limits_max():
 
 
 def test_distance_limits_min():
-    sim = Simulation(test_settings("distance_limits_min"))
+    sim = Simulation(make_settings("distance_limits_min"))
     box0 = _box(sim)
     sim.rigidbodies.add_constraint_fix(box0)
     box1 = _box(sim).set_translation([1.0, 0.0, 0.0])
@@ -141,7 +141,7 @@ def test_distance_limits_min():
 
 
 def test_direction():
-    sim = Simulation(test_settings("direction"))
+    sim = Simulation(make_settings("direction"))
     box0 = _box(sim)
     sim.rigidbodies.add_constraint_fix(box0)
     box1 = _box(sim).set_translation([0.0, 0.0, 0.1])
@@ -154,7 +154,7 @@ def test_direction():
 
 
 def test_angle_limit():
-    sim = Simulation(test_settings("angle_limit"))
+    sim = Simulation(make_settings("angle_limit"))
     box0 = _box(sim)
     sim.rigidbodies.add_constraint_fix(box0)
     box1 = _box(sim).set_translation([0.0, 0.0, 0.1])
@@ -168,7 +168,7 @@ def test_angle_limit():
 
 
 def test_spring():
-    sim = Simulation(test_settings("spring"))
+    sim = Simulation(make_settings("spring"))
     stiffness = 1000.0
     perturbation = 1.0
     damping = 1.0
@@ -186,7 +186,7 @@ def test_spring():
 
 
 def test_linear_velocity():
-    sim = Simulation(test_settings("linear_velocity"))
+    sim = Simulation(make_settings("linear_velocity"))
     max_force = 50.0
     target_v = 3.7
     delay = 0.01
@@ -204,7 +204,7 @@ def test_linear_velocity():
 
 
 def test_angular_velocity():
-    sim = Simulation(test_settings("angular_velocity"))
+    sim = Simulation(make_settings("angular_velocity"))
     max_torque = 10.0
     perturbation = 1.7
     delay = 0.01
