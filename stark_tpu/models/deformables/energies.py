@@ -275,7 +275,7 @@ class EnergyPrescribedPositions:
         if not self._nodes:
             return True
         dt = self.stark.dt
-        x1 = np.asarray(self.dyn.get_x1(dt))
+        x1 = self.dyn.host_x1(dt)
         nodes = np.asarray(self._nodes)
         targets = np.asarray(self.target_positions)
         d2 = np.sum((x1[nodes] - targets) ** 2, axis=1)

@@ -260,7 +260,7 @@ class EnergyAttachments:
             return True
         ok = True
         dt = self.stark.dt
-        x1 = np.asarray(self.dyn.get_x1(dt)) if self.dyn.n_points else None
+        x1 = self.dyn.host_x1(dt) if self.dyn.n_points else None
 
         def gap(name, e):
             n = e.get("nodes")

@@ -74,11 +74,17 @@ def barrier(d, dhat, k, barrier_type: str, active):
 
 
 def barrier_force(d, dhat, k, barrier_type: str):
-    """Scalar normal force magnitude for lagged friction (cpp:1238-1250)."""
+    """Scalar normal force magnitude -dE/dd for lagged friction
+    (cpp:1238-1250). NOTE: the reference's Log branch returns
+    k(dhat-d)(2d log(d/dhat)+d-dhat)/d, which equals +dE/dd (NEGATIVE for
+    d<dhat) — a sign bug that turns lagged friction into propulsion; its
+    default Cubic branch is unaffected. Here the Log branch uses the correct
+    repulsive magnitude -dE/dd = k(dhat-d)(dhat-d-2d log(d/dhat))/d."""
     if barrier_type == "Cubic":
         return k * (dhat - d) ** 2
     d_safe = jnp.maximum(d, 1e-300)
-    return (k * (dhat - d) * (2.0 * d_safe * jnp.log(d_safe / dhat) + d - dhat)) / d_safe
+    return (k * (dhat - d)
+            * (dhat - d - 2.0 * d_safe * jnp.log(d_safe / dhat))) / d_safe
 
 
 def friction_potential(v_rel, fn, mu, T, epsv, dt, friction_type: str):
@@ -125,12 +131,21 @@ def _ee_barrier(model_cfg, ea0, ea1, eb0, eb1, EA0, EA1, EB0, EB1, row, glob):
 
 def make_families(model):
     """Build the 14 dynamic families closed over the model's barrier/friction
-    type configuration. `model` is the EnergyFrictionalContact instance."""
-    cfg = {
-        "barrier": model.ipc_barrier_type,
-        "friction": model.ipc_friction_type,
-        "parallel_tol": model.edge_edge_cross_norm_sq_cutoff,
-    }
+    type configuration. `model` is the EnergyFrictionalContact instance.
+
+    The barrier/friction types are read lazily (at trace time, i.e. the
+    first solve), so users may set model.ipc_barrier_type / ipc_friction_type
+    any time before running; changes after the first step would require a
+    re-trace and are not supported."""
+    class _Cfg:
+        def __getitem__(self, key):
+            if key == "barrier":
+                return model.ipc_barrier_type
+            if key == "friction":
+                return model.ipc_friction_type
+            return model.edge_edge_cross_norm_sq_cutoff
+
+    cfg = _Cfg()
 
     # ---- contact ----
     def contact_pt_dd(u_e, row, glob):

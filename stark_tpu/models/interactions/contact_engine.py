@@ -241,8 +241,30 @@ class ContactEngine:
         return [b[0] for b in blocks]
 
     def _cap(self, name):
+        """Initial pair-buffer capacity sized from mesh statistics (a few
+        live pairs per primitive is the realistic ceiling for IPC-thin
+        contact), so capacity-bump recompiles of the fused program stay
+        rare. Overflow still doubles."""
         if name not in self._caps:
-            self._caps[name] = 256
+            stem = name[2:] if name.startswith("f_") else name
+            if stem == "pt_dd":
+                h = len(self.sv_gid)
+            elif stem == "pt_dr":
+                h = len(self.sv_gid)
+            elif stem == "pt_rd":
+                h = max(len(self.rv_body), len(self.ts) // 4)
+            elif stem == "pt_rr":
+                h = len(self.rv_body)
+            elif stem == "ee_dd":
+                h = 2 * len(self.es)
+            elif stem == "ee_dr":
+                h = max(len(self.er), len(self.es) // 2)
+            else:  # ee_rr
+                h = len(self.er)
+            cap = 256
+            while cap < h:
+                cap *= 2
+            self._caps[name] = cap
         return self._caps[name]
 
     # ------------------------------------------------------------------

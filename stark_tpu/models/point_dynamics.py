@@ -112,8 +112,11 @@ class PointDynamics:
         self._a_host: np.ndarray = np.zeros((0, 3))
         self._f_host: np.ndarray = np.zeros((0, 3))
         self.frozen = False
-        # device state (set at freeze)
-        self.X = self.x0 = self.x1 = self.v0 = self.v1 = self.a = self.f = None
+        # device state (set at freeze); v1 has a cached host mirror because
+        # device->host pulls are expensive on the remote-relay TPU path
+        self.X = self.x0 = self.x1 = self.v0 = self.a = self.f = None
+        self._v1 = None
+        self._host_x1 = None
 
         stark.callbacks.add_before_time_step(self._before_time_step)
         stark.callbacks.add_on_time_step_accepted(self._on_time_step_accepted)
@@ -160,9 +163,24 @@ class PointDynamics:
     def host_X(self) -> np.ndarray:
         return np.asarray(self.X) if self.frozen else self._X_host
 
+    @property
+    def v1(self):
+        return self._v1
+
+    @v1.setter
+    def v1(self, value):
+        self._v1 = value
+        self._host_x1 = None
+
     def get_x1(self, dt):
         """x1 = x0 + dt*v1 under current trial velocities (device)."""
         return self.x0 + dt * self.v1
+
+    def host_x1(self, dt) -> np.ndarray:
+        """Cached host mirror of x1 (one pull per trial state)."""
+        if self._host_x1 is None:
+            self._host_x1 = np.asarray(self.get_x1(dt))
+        return self._host_x1
 
     # -- glob contribution for energy functions --
     def glob_entries(self):

@@ -38,12 +38,34 @@ class RigidBodyDynamics:
         self.force = np.zeros((0, 3))
         self.torque = np.zeros((0, 3))
         self.frozen = False
-        # device trial velocities (the DOFs), set by the solver
-        self.v1 = None
-        self.w1 = None
+        # device trial velocities (the DOFs), set by the solver; host mirrors
+        # are cached because every device->host pull is expensive on the
+        # remote-relay TPU path (constraint checks read these repeatedly)
+        self._v1 = None
+        self._w1 = None
+        self._host_v1 = None
+        self._host_w1 = None
 
         stark.callbacks.add_before_time_step(self._before_time_step)
         stark.callbacks.add_on_time_step_accepted(self._on_time_step_accepted)
+
+    @property
+    def v1(self):
+        return self._v1
+
+    @v1.setter
+    def v1(self, value):
+        self._v1 = value
+        self._host_v1 = None
+
+    @property
+    def w1(self):
+        return self._w1
+
+    @w1.setter
+    def w1(self, value):
+        self._w1 = value
+        self._host_w1 = None
 
     # -- scene building --
     def add(self, label: str = "") -> int:
@@ -87,10 +109,18 @@ class RigidBodyDynamics:
 
     # -- host-side kinematics under current trial velocities --
     def host_v1(self) -> np.ndarray:
-        return np.asarray(self.v1) if self.v1 is not None else np.zeros((self.n_bodies, 3))
+        if self._v1 is None:
+            return np.zeros((self.n_bodies, 3))
+        if self._host_v1 is None:
+            self._host_v1 = np.asarray(self._v1)
+        return self._host_v1
 
     def host_w1(self) -> np.ndarray:
-        return np.asarray(self.w1) if self.w1 is not None else np.zeros((self.n_bodies, 3))
+        if self._w1 is None:
+            return np.zeros((self.n_bodies, 3))
+        if self._host_w1 is None:
+            self._host_w1 = np.asarray(self._w1)
+        return self._host_w1
 
     def get_x1(self, rb: int, x_loc, dt: float) -> np.ndarray:
         """Host integrate_loc_point (RigidBodyDynamics.cpp:123-126)."""
