@@ -26,7 +26,33 @@ import jax.numpy as jnp
 
 from .. import maths
 
-_TINY = 1e-300
+# Positive floor for denominator guards. Must be representable in BOTH f64
+# and f32: the previous 1e-300 silently underflows to 0.0 under float32,
+# turning every guard below into a no-op (observed failure: exactly-parallel
+# cloth edges slipped past the guards and produced garbage line-line
+# distances -> spurious barrier pairs with ~1e4 gradients).
+_TINY = 1e-35
+
+
+def _parallel_tol(dtype) -> float:
+    """Relative (dimensionless) cross-norm^2 cutoff below which two edges are
+    treated as parallel: cross_sq < tol * |u|^2 * |v|^2, i.e. sin^2(angle) <
+    tol. The IPC toolkit uses an equivalent relative test; an ABSOLUTE cutoff
+    cannot work across precisions because f32 rounding noise on the cross
+    product of parallel unit edges is ~1e-14 relative while f64 noise is
+    ~1e-30.
+
+    The f32 cutoff must ALSO cover the classifier's own conditioning: the
+    non-parallel path branches on D = |u|^2|v|^2 - (u.v)^2 = |u|^2|v|^2 sin^2,
+    which for nearly-collinear edges is pure cancellation noise (~eps32
+    relative, 1e-7). With sin^2 below ~1e-4 the region selection is garbage
+    and can pick the interior line-line formula with a catastrophic distance
+    (observed: a spurious cloth-cloth "contact" between edges 0.14 m apart,
+    with ~1e4-magnitude gradients). Treating sin(angle) < 1e-2 as parallel
+    costs at most ~angle*|edge| of distance error on genuinely-near pairs
+    while keeping every selected formula three decades above the f32 noise
+    floor."""
+    return 1e-4 if jnp.finfo(dtype).bits == 32 else 1e-20
 
 # NaN-safety: every candidate below is evaluated for every pair regardless of
 # the selected region, and reverse-mode runs their VJPs with zero cotangents.
@@ -61,11 +87,15 @@ def _sq_point_plane(p, a, b, c):
 
 
 def _sq_line_line(a, b, p, q):
-    # parallel edges (|n|^2 below the classifier cutoff) are routed to the
-    # point-line regions, so the guarded fallback is never the selected value
-    n = jnp.cross(b - a, q - p)
+    # parallel edges (|n|^2 below the classifier's RELATIVE cutoff) are routed
+    # to the point-line regions, so the guarded fallback is never the selected
+    # value; the guard floor is likewise relative to the edge scales
+    u = b - a
+    v = q - p
+    n = jnp.cross(u, v)
     l = jnp.dot(p - a, n)
-    return _guarded_div(l * l, jnp.dot(n, n), 1e-32)
+    floor = _parallel_tol(a.dtype) * jnp.dot(u, u) * jnp.dot(v, v)
+    return _guarded_div(l * l, jnp.dot(n, n), jnp.maximum(floor, _TINY))
 
 
 # ---------------------------------------------------------------------------
@@ -210,9 +240,13 @@ def point_triangle_T(p, t0, t1, t2, region):
 # Edge - Edge
 # ---------------------------------------------------------------------------
 
-def edge_edge_region(ea0, ea1, eb0, eb1, parallel_tol: float = 1e-30):
+def edge_edge_region(ea0, ea1, eb0, eb1, parallel_tol=None):
     """ipc edge_edge_distance_type (:80-170). Degenerate zero-length edges
-    cannot occur for real meshes and are not special-cased."""
+    cannot occur for real meshes and are not special-cased.
+
+    `parallel_tol` is RELATIVE: edges are parallel when the squared cross
+    norm is below parallel_tol * |u|^2 * |v|^2 (sin^2 of the angle). None
+    picks a dtype-appropriate default (1e-10 f32 / 1e-20 f64)."""
     u = ea1 - ea0
     v = eb1 - eb0
     w = ea0 - eb0
@@ -223,7 +257,9 @@ def edge_edge_region(ea0, ea1, eb0, eb1, parallel_tol: float = 1e-30):
     e = jnp.dot(v, w)
     D = jnp.maximum(a * c - b * b, 0.0)
     cross_sq = jnp.dot(jnp.cross(u, v), jnp.cross(u, v))
-    parallel = cross_sq < parallel_tol
+    if parallel_tol is None:
+        parallel_tol = _parallel_tol(ea0.dtype)
+    parallel = cross_sq < parallel_tol * a * c
 
     # --- non-parallel path ---
     sN = b * e - c * d
@@ -258,7 +294,7 @@ def edge_edge_region(ea0, ea1, eb0, eb1, parallel_tol: float = 1e-30):
     return jnp.where(parallel, par_code, np_code)
 
 
-def edge_edge_sq_distance(ea0, ea1, eb0, eb1, region=None, parallel_tol: float = 1e-30):
+def edge_edge_sq_distance(ea0, ea1, eb0, eb1, region=None, parallel_tol=None):
     if region is None:
         region = edge_edge_region(ea0, ea1, eb0, eb1, parallel_tol)
     cands = jnp.stack([
@@ -275,7 +311,7 @@ def edge_edge_sq_distance(ea0, ea1, eb0, eb1, region=None, parallel_tol: float =
     return cands[region]
 
 
-def edge_edge_distance(ea0, ea1, eb0, eb1, region=None, parallel_tol: float = 1e-30):
+def edge_edge_distance(ea0, ea1, eb0, eb1, region=None, parallel_tol=None):
     return maths.safe_sqrt(edge_edge_sq_distance(ea0, ea1, eb0, eb1, region,
                                                  parallel_tol), _TINY)
 
@@ -293,8 +329,10 @@ def edge_edge_params(ea0, ea1, eb0, eb1, region):
     b = jnp.dot(da, db)
     c = jnp.dot(da, r)
     denom = a * e - b * b
-    s_ll = jnp.where(denom < 1e-16, 0.5, (b * f - c * e) / jnp.where(denom < 1e-16, 1.0, denom))
-    t_ll = jnp.where(denom < 1e-16, 0.5, (b * s_ll + f) / jnp.maximum(e, _TINY))
+    # relative degeneracy test (absolute 1e-16 underflows the f32 guard)
+    degen = denom < _parallel_tol(da.dtype) * a * e
+    s_ll = jnp.where(degen, 0.5, (b * f - c * e) / jnp.where(degen, 1.0, denom))
+    t_ll = jnp.where(degen, 0.5, (b * s_ll + f) / jnp.maximum(e, _TINY))
     # point-on-line params for the pe regions
     _, t_a0 = _bary_point_edge(ea0, eb0, eb1)
     _, t_a1 = _bary_point_edge(ea1, eb0, eb1)
@@ -350,7 +388,11 @@ def segment_triangle_intersects(p0, p1, t0, t1, t2):
     e2 = t2 - t0
     h = jnp.cross(d, e2)
     a = jnp.dot(e1, h)
-    not_parallel = jnp.abs(a) > 1e-300
+    # relative parallel test: a is a triple product ~ |e1||d||e2|*sin; the
+    # old absolute 1e-300 guard underflows to 0 in f32 and lets coplanar
+    # (flat-cloth) pairs produce garbage intersection coordinates
+    scale_sq = jnp.dot(e1, e1) * jnp.dot(h, h)
+    not_parallel = a * a > jnp.maximum(_parallel_tol(p0.dtype) * scale_sq, _TINY)
     f = 1.0 / jnp.where(not_parallel, a, 1.0)
     s = p0 - t0
     u = f * jnp.dot(s, h)

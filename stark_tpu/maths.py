@@ -59,21 +59,26 @@ def cubic_one_sided(x, stiffness):
     return jnp.where(x > 0.0, stiffness * x * x * x / 3.0, 0.0)
 
 
-def dihedral_angle(x0, x1, x2, x3, eps: float = EPSILON):
+def dihedral_angle(x0, x1, x2, x3, eps: float = None):
     """Dihedral angle across edge (x0,x1) with wing vertices x2, x3.
 
     Mirrors the reference's dihedral_angle_rad_f
     (EnergyDiscreteShells.cpp:12-24): acos((1-eps) * n0.hat . n1.hat) where
     n0 = e0 x e1, n1 = -e0 x e2. The (1-eps) factor keeps acos differentiable
-    at +-1 exactly as the reference does.
+    at +-1 exactly as the reference does — but eps must be dtype-aware: the
+    reference's f64 1e-12 rounds (1-eps) to exactly 1.0 under float32, which
+    re-creates the infinite acos slope at flat configurations (every internal
+    edge of a flat cloth grid!).
     """
     e0 = x1 - x0
     e1 = x2 - x0
     e2 = x3 - x0
     n0 = jnp.cross(e0, e1)
     n1 = -jnp.cross(e0, e2)
-    c = (1.0 - eps) * dot(normalized(n0), normalized(n1))
-    return jnp.arccos(c)
+    c = dot(normalized(n0), normalized(n1))
+    if eps is None:
+        eps = 100.0 * float(jnp.finfo(c.dtype).eps) if hasattr(c, "dtype") else EPSILON
+    return jnp.arccos((1.0 - eps) * c)
 
 
 # ----------------------------------------------------------------------------

@@ -101,7 +101,11 @@ class EnergyLumpedInertia:
         E_inertia = 0.5 * mass * (jnp.dot(dev, dev) / (dt * dt)
                                   + jnp.dot(dev2, dev2) * row["damping"] / dt)
         f_ext = mass * (a + glob["gravity"]) + f
-        E_ext = -jnp.dot(f_ext, x1)
+        # -f_ext.x1 up to the u-independent constant -f_ext.x0 (dropped:
+        # constants don't change the minimizer or derivatives, and keeping
+        # the huge |x0| baseline would drown the per-step energy decrease in
+        # f32 roundoff -- the line-search Armijo test needs the VARIATION)
+        E_ext = -jnp.dot(f_ext, dt * v1)
         return E_ext + jnp.where(row["is_quasistatic"] > 0.5, 0.0, E_inertia)
 
     def _provider(self):
@@ -456,7 +460,10 @@ class EnergyTriangleStrain:
 
     def _inflation_density(self, x0, x1, row):
         n0 = -maths.normalized(jnp.cross(x0[1] - x0[0], x0[2] - x0[0]))
-        return row["inflation"] * jnp.dot(n0, x1[0] + x1[1] + x1[2]) / 3.0
+        # inflation * n0 . mean(x1) up to the u-independent n0 . mean(x0)
+        # constant (dropped for f32 cancellation safety; same derivatives)
+        dx = (x1[0] - x0[0]) + (x1[1] - x0[1]) + (x1[2] - x0[2])
+        return row["inflation"] * jnp.dot(n0, dx) / 3.0
 
     def _energy_full(self, u_e, row, glob):
         # EnergyTriangleStrain.cpp:13-80

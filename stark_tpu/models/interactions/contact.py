@@ -113,7 +113,10 @@ class EnergyFrictionalContact:
         self.contact_stiffness = 1e3
         self.ipc_barrier_type = IPCBarrierType.Cubic
         self.ipc_friction_type = IPCFrictionType.C0
-        self.edge_edge_cross_norm_sq_cutoff = 1e-30
+        # RELATIVE parallel-edge cutoff: edges are "parallel" when
+        # |ua x ub|^2 < cutoff * |ua|^2 * |ub|^2 (sin^2 of the angle).
+        # None = dtype default (1e-10 f32 / 1e-20 f64, narrow_phase._parallel_tol)
+        self.edge_edge_cross_norm_sq_cutoff = None
         self.friction_displacement_perturbation = 1e-9
 
         self.contact_thicknesses: List[float] = []   # per handler

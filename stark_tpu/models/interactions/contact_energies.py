@@ -65,12 +65,21 @@ def _rb_point_vel(glob, body, v, w, locs):
 # ---------------------------------------------------------------------------
 
 def barrier(d, dhat, k, barrier_type: str, active):
-    """EnergyFrictionalContact.cpp:1225-1237. `active` guards the log."""
+    """EnergyFrictionalContact.cpp:1225-1237. `active` guards the log.
+
+    The gap is clamped at 0 so the potential is identically zero for
+    d >= dhat: pairs are ACTIVATED by the engine's distance pass, but the
+    energy re-derives d from the trial DOFs, and the two can straddle the
+    dhat boundary (f32 noise, or motion during the line search). The
+    reference gets the same effect from conditional potentials re-evaluating
+    their activation expression; an unclamped cubic would go NEGATIVE past
+    dhat and reward separation bursts. Both barriers stay C2 at the clamp."""
+    gap = jnp.maximum(dhat - d, 0.0)
     if barrier_type == "Cubic":
-        return k * (dhat - d) ** 3 / 3.0
-    # Log barrier: -k*(dhat-d)^2*log(d/dhat)
-    d_safe = jnp.where(active, jnp.maximum(d, 1e-300), dhat)
-    return -k * (dhat - d) ** 2 * jnp.log(d_safe / dhat)
+        return k * gap ** 3 / 3.0
+    # Log barrier: -k*(dhat-d)^2*log(d/dhat); floor must be f32-representable
+    d_safe = jnp.where(active, jnp.maximum(d, 1e-35), dhat)
+    return -k * gap ** 2 * jnp.log(jnp.minimum(d_safe / dhat, 1.0))
 
 
 def barrier_force(d, dhat, k, barrier_type: str):
@@ -80,11 +89,12 @@ def barrier_force(d, dhat, k, barrier_type: str):
     d<dhat) — a sign bug that turns lagged friction into propulsion; its
     default Cubic branch is unaffected. Here the Log branch uses the correct
     repulsive magnitude -dE/dd = k(dhat-d)(dhat-d-2d log(d/dhat))/d."""
+    gap = jnp.maximum(dhat - d, 0.0)
     if barrier_type == "Cubic":
-        return k * (dhat - d) ** 2
-    d_safe = jnp.maximum(d, 1e-300)
-    return (k * (dhat - d)
-            * (dhat - d - 2.0 * d_safe * jnp.log(d_safe / dhat))) / d_safe
+        return k * gap ** 2
+    d_safe = jnp.maximum(d, 1e-35)
+    return (k * gap
+            * (gap - 2.0 * d_safe * jnp.log(jnp.minimum(d_safe / dhat, 1.0)))) / d_safe
 
 
 def friction_potential(v_rel, fn, mu, T, epsv, dt, friction_type: str):

@@ -39,17 +39,25 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
     """Build the jittable evaluation closures for a fixed family set."""
     fam_by_name = {f.name: f for f in families}
 
+    # Total energies accumulate in f64 even when the element math runs f32:
+    # the Armijo test compares energy DIFFERENCES of order beta*g.du, which
+    # f32 accumulation noise (~1e-7 * sum|e_i| over thousands of elements)
+    # would otherwise drown — the line search then backtracks on noise.
+    # The reference gets this for free from being all-double; on TPU the f64
+    # reduce of an f32 element vector costs ~nothing next to the Hessians.
+    _ACC = jnp.float64
+
     def energy(u, data, glob):
-        E = jnp.zeros((), dtype=u.dtype)
+        E = jnp.zeros((), dtype=_ACC)
         for name, fd in data.items():
             fam = fam_by_name[name]
             u_e = _gather(u, fd["conn"])
             e = jax.vmap(fam.energy_fn, in_axes=(0, 0, None))(u_e, fd["rows"], glob)
-            E = E + jnp.sum(jnp.where(_active_mask(fd["rows"]), e, 0.0))
+            E = E + jnp.sum(jnp.where(_active_mask(fd["rows"]), e, 0.0).astype(_ACC))
         return E
 
     def energy_grad(u, data, glob):
-        E = jnp.zeros((), dtype=u.dtype)
+        E = jnp.zeros((), dtype=_ACC)
         grad = jnp.zeros((n_blocks, 3), dtype=u.dtype)
         for name, fd in data.items():
             fam = fam_by_name[name]
@@ -57,7 +65,7 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             e, g_e = jax.vmap(jax.value_and_grad(fam.energy_fn), in_axes=(0, 0, None))(
                 u_e, fd["rows"], glob)
             mask = _active_mask(fd["rows"])
-            E = E + jnp.sum(jnp.where(mask, e, 0.0))
+            E = E + jnp.sum(jnp.where(mask, e, 0.0).astype(_ACC))
             g_e = jnp.where(mask[:, None, None], g_e, 0.0)
             grad = grad + jax.ops.segment_sum(
                 g_e.reshape(-1, 3), fd["conn"].reshape(-1), num_segments=n_blocks)
@@ -67,7 +75,7 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         """Returns (E, grad, {name: H (E, arity*3, arity*3)}). The per-family
         dense element Hessians play the role of ElementHessians chunk storage
         (ElementHessians.h:22-104) but stay on device, uniform per family."""
-        E = jnp.zeros((), dtype=u.dtype)
+        E = jnp.zeros((), dtype=_ACC)
         grad = jnp.zeros((n_blocks, 3), dtype=u.dtype)
         hess: Dict[str, jnp.ndarray] = {}
         for name, fd in data.items():
@@ -80,7 +88,7 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             H_e = jax.vmap(jax.hessian(e_fn), in_axes=(0, 0, None))(
                 u_e, fd["rows"], glob)
             mask = _active_mask(fd["rows"])
-            E = E + jnp.sum(jnp.where(mask, e, 0.0))
+            E = E + jnp.sum(jnp.where(mask, e, 0.0).astype(_ACC))
             g_e = jnp.where(mask[:, None, None], g_e, 0.0)
             grad = grad + jax.ops.segment_sum(
                 g_e.reshape(-1, 3), fd["conn"].reshape(-1), num_segments=n_blocks)

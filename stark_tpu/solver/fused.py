@@ -218,10 +218,11 @@ def build_fused_solve(nm, engine):
 
         z32 = jnp.zeros((), jnp.int32)
         zf = jnp.zeros((), ftype)
+        # E0 carries the f64-accumulated total energy (assembly._ACC)
         init = Carry(u=u0, it=z32, res0=zf, done=init_bad,
                      code=jnp.where(init_bad, 2, 0).astype(jnp.int32),
                      cg_total=z32, ls_cap=z32, ls_inv=z32, ls_bt=z32,
-                     n_proj=z32, n_hess=z32, res=zf, E0=zf,
+                     n_proj=z32, n_hess=z32, res=zf, E0=jnp.zeros((), jnp.float64),
                      counts_max=jnp.zeros((max(len(count_keys), 1),), jnp.int32))
         final = lax.while_loop(cond, body, init)
         # loop exhausted without done -> TooManyIterations (or success if configured)

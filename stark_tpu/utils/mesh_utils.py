@@ -25,6 +25,11 @@ def find_edges_from_simplices(simplices, n_nodes: int) -> np.ndarray:
     simplices = np.asarray(simplices, dtype=np.int64)
     if simplices.size == 0:
         return np.zeros((0, 2), dtype=np.int64)
+    from ..native import find_edges as _native_find_edges
+
+    native_edges = _native_find_edges(simplices)
+    if native_edges is not None:
+        return native_edges
     k = simplices.shape[1]
     pairs = []
     for i in range(k):
@@ -43,6 +48,11 @@ def find_internal_angles(triangles, n_nodes: int) -> np.ndarray:
     triangles = np.asarray(triangles, dtype=np.int64)
     if triangles.size == 0:
         return np.zeros((0, 4), dtype=np.int64)
+    from ..native import find_internal_edges as _native_internal
+
+    native_rows = _native_internal(triangles)
+    if native_rows is not None:
+        return native_rows
     neigh = defaultdict(set)
     for t in triangles:
         for a in range(3):

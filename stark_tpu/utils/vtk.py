@@ -17,6 +17,12 @@ def write_vtk(path: str, vertices, conn, kind: str):
         conn = conn.reshape(-1, 1)
     n_cells, k = conn.shape
     ct = _CELL_TYPES[kind]
+    # fast path: native binary legacy writer (native/stark_native.cc, the
+    # analog of the reference's C++ vtkio); ASCII below is the fallback
+    from ..native import write_vtk_binary
+
+    if write_vtk_binary(path, vertices, conn, ct):
+        return
     with open(path, "w") as f:
         f.write("# vtk DataFile Version 3.0\nstark_tpu frame\nASCII\n")
         f.write("DATASET UNSTRUCTURED_GRID\n")
@@ -32,9 +38,12 @@ def write_vtk(path: str, vertices, conn, kind: str):
 
 
 def read_vtk(path: str):
-    """Read back a legacy ASCII unstructured grid (vertices, conn)."""
-    with open(path) as f:
-        lines = f.read().split("\n")
+    """Read back a legacy unstructured grid (vertices, conn), ASCII or BINARY."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if b"\nBINARY\n" in raw[:64]:
+        return _read_vtk_binary(raw)
+    lines = raw.decode().split("\n")
     i = 0
     verts = []
     cells = []
@@ -57,3 +66,22 @@ def read_vtk(path: str):
                 cells.append(parts[1:])
         i += 1
     return np.asarray(verts), np.asarray(cells, dtype=np.int64)
+
+
+def _read_vtk_binary(raw: bytes):
+    """Parse the native writer's binary legacy layout (big-endian payloads)."""
+    pos = raw.index(b"POINTS")
+    hdr_end = raw.index(b"\n", pos)
+    n_pts = int(raw[pos:hdr_end].split()[1])
+    start = hdr_end + 1
+    verts = np.frombuffer(raw, dtype=">f8", count=3 * n_pts,
+                          offset=start).reshape(n_pts, 3).astype(np.float64)
+    pos = raw.index(b"CELLS", start)
+    hdr_end = raw.index(b"\n", pos)
+    parts = raw[pos:hdr_end].split()
+    n_cells, n_ints = int(parts[1]), int(parts[2])
+    start = hdr_end + 1
+    flat = np.frombuffer(raw, dtype=">i4", count=n_ints, offset=start)
+    arity = int(flat[0])
+    cells = flat.reshape(n_cells, arity + 1)[:, 1:].astype(np.int64)
+    return verts, cells
