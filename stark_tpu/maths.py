@@ -142,6 +142,52 @@ def integrate_loc_direction(d_loc, q0, w1, dt):
     return quat_integration_rotation(q0, w1, dt) @ d_loc
 
 
+def np_quat_mul(q1, q2):
+    """Hamilton product, (w,x,y,z), pure numpy (host paths must not dispatch
+    device ops: every round trip over the remote TPU relay costs ~0.1-1 s).
+    Batched: q1/q2 are (..., 4)."""
+    import numpy as np
+
+    a, b, c, d = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    e, f, g, h = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return np.stack([
+        a * e - b * f - c * g - d * h,
+        b * e + a * f + c * h - d * g,
+        a * g - b * h + c * e + d * f,
+        a * h + b * g - c * f + d * e,
+    ], axis=-1)
+
+
+def np_quat_to_rotation(q):
+    """Rotation matrices from unit quaternions, pure numpy, batched (..., 4)
+    -> (..., 3, 3)."""
+    import numpy as np
+
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    tx, ty, tz = 2.0 * qx, 2.0 * qy, 2.0 * qz
+    twx, twy, twz = tx * qw, ty * qw, tz * qw
+    txx, txy, txz = tx * qx, ty * qx, tz * qx
+    tyy, tyz = ty * qy, tz * qy
+    tzz = tz * qz
+    one = np.ones_like(qw)
+    R = np.stack([
+        one - (tyy + tzz), txy - twz, txz + twy,
+        txy + twz, one - (txx + tzz), tyz - twx,
+        txz - twy, tyz + twx, one - (txx + tyy),
+    ], axis=-1)
+    return R.reshape(q.shape[:-1] + (3, 3))
+
+
+def np_quat_time_integration(q0, w_glob, dt):
+    """Host-side analog of quat_time_integration, batched (..., 4)/(..., 3)."""
+    import numpy as np
+
+    z = np.zeros_like(w_glob[..., :1])
+    w_ = np.concatenate([z, w_glob], axis=-1)
+    q1 = q0 + 0.5 * dt * np_quat_mul(w_, q0)
+    return q1 / np.linalg.norm(q1, axis=-1, keepdims=True)
+
+
 def rotation_to_quat(R):
     """Numerically-robust rotation-matrix -> quaternion (w,x,y,z). Host-side util."""
     import numpy as np

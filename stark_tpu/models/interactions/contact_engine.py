@@ -30,6 +30,7 @@ import numpy as np
 
 from ... import maths
 from ...collision import narrow_phase as nph
+from ...ops.compaction import compact_indices
 
 
 def _dedup_mask(mesh_a, idx_a, mesh_b, idx_b):
@@ -303,10 +304,10 @@ class ContactEngine:
         cap = self._cap(("f_" if extra_mat is not None else "") + stem)
         nt = len(tm)
         flat = mask.ravel()
-        (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
-        count = jnp.sum(flat)
-        # nonzero returns true indices first; fill entries all alias index 0,
-        # so validity must come from the count, not flat[idx]
+        # blocked stream compaction (ops/compaction.py): true indices first;
+        # fill entries all alias index 0, so validity must come from the
+        # count, not flat[idx]
+        idx, count = compact_indices(flat, cap)
         active = jnp.arange(cap) < count
         p_idx = idx // nt
         t_idx = idx % nt
@@ -342,8 +343,7 @@ class ContactEngine:
         cap = self._cap(("f_" if extra_mat is not None else "") + stem)
         nb = len(ebm)
         flat = mask.ravel()
-        (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
-        count = jnp.sum(flat)
+        idx, count = compact_indices(flat, cap)
         active = jnp.arange(cap) < count
         return idx // nb, idx % nb, active, D.ravel()[idx], count, dhat.ravel()[idx]
 

@@ -107,6 +107,13 @@ class RigidBodyDynamics:
             "rb_torque": jnp.asarray(self.torque, d),
         }
 
+    def prime_host(self, v1_np: np.ndarray, w1_np: np.ndarray):
+        """Feed the host mirrors from an already-pulled DOF vector (the fused
+        solver pulls (u, stats) in one transfer; this avoids re-pulling v1/w1
+        in the accept/constraint-check paths)."""
+        self._host_v1 = v1_np
+        self._host_w1 = w1_np
+
     # -- host-side kinematics under current trial velocities --
     def host_v1(self) -> np.ndarray:
         if self._v1 is None:
@@ -124,21 +131,15 @@ class RigidBodyDynamics:
 
     def get_x1(self, rb: int, x_loc, dt: float) -> np.ndarray:
         """Host integrate_loc_point (RigidBodyDynamics.cpp:123-126)."""
-        q1 = self._host_quat_int(rb, dt)
-        R1 = np.asarray(maths.quat_to_rotation(jnp.asarray(q1)))
+        R1 = maths.np_quat_to_rotation(self._host_quat_int(rb, dt))
         return self.t0[rb] + dt * self.host_v1()[rb] + R1 @ np.asarray(x_loc)
 
     def get_d1(self, rb: int, d_loc, dt: float) -> np.ndarray:
-        q1 = self._host_quat_int(rb, dt)
-        R1 = np.asarray(maths.quat_to_rotation(jnp.asarray(q1)))
+        R1 = maths.np_quat_to_rotation(self._host_quat_int(rb, dt))
         return R1 @ np.asarray(d_loc)
 
     def _host_quat_int(self, rb: int, dt: float) -> np.ndarray:
-        w = self.host_w1()[rb]
-        q0 = self.q0[rb]
-        w_ = np.array([0.0, w[0], w[1], w[2]])
-        q1 = q0 + 0.5 * dt * np.asarray(maths.quat_mul(jnp.asarray(w_), jnp.asarray(q0)))
-        return q1 / np.linalg.norm(q1)
+        return maths.np_quat_time_integration(self.q0[rb], self.host_w1()[rb], dt)
 
     def get_position_at(self, rb: int, x_loc) -> np.ndarray:
         return self.t1[rb] + self.R1[rb] @ np.asarray(x_loc)
@@ -164,12 +165,8 @@ class RigidBodyDynamics:
         v1 = self.host_v1()
         w1 = self.host_w1()
         self.t1 = self.t0 + dt * v1
-        for i in range(self.n_bodies):
-            w_ = np.array([0.0, w1[i, 0], w1[i, 1], w1[i, 2]])
-            q = self.q0[i] + 0.5 * dt * np.asarray(
-                maths.quat_mul(jnp.asarray(w_), jnp.asarray(self.q0[i])))
-            self.q1[i] = q / np.linalg.norm(q)
-            self.R1[i] = np.asarray(maths.quat_to_rotation(jnp.asarray(self.q1[i])))
+        self.q1 = maths.np_quat_time_integration(self.q0, w1, dt)
+        self.R1 = maths.np_quat_to_rotation(self.q1)
         self.t0 = self.t1.copy()
         self.q0 = self.q1.copy()
         self.R0 = self.R1.copy()

@@ -79,7 +79,8 @@ class NewtonsMethod:
                  get_dofs: Callable, set_dofs: Callable,
                  get_static_data: Optional[Callable] = None,
                  get_friction_data: Optional[Callable] = None,
-                 get_engine: Optional[Callable] = None):
+                 get_engine: Optional[Callable] = None,
+                 prime_host_dofs: Optional[Callable] = None):
         self.families = families
         self.n_blocks = n_blocks
         self.callbacks = callbacks
@@ -93,6 +94,8 @@ class NewtonsMethod:
         self.get_static_data = get_static_data
         self.get_friction_data = get_friction_data
         self.get_engine = get_engine
+        self.prime_host_dofs = prime_host_dofs
+        self.fused_friction = False
         self.stats = SolveStats()
         self._fused_jit = None
         self._fused_count_keys = []
@@ -163,12 +166,12 @@ class NewtonsMethod:
 
         engine = self.get_engine() if self.get_engine is not None else None
         fn, keys = build_fused_solve(self, engine)
-        opts = None
-        if jax.default_backend() not in ("cpu",):
-            # the big fused program trips XLA:TPU's default 16MiB scoped-vmem
-            # budget in a prefix-scan fusion; raise it (v5e has headroom)
-            opts = {"xla_tpu_scoped_vmem_limit_kib": 32768}
-        self._fused_jit = jax.jit(fn, compiler_options=opts)
+        # No compiler-option overrides: the pair-buffer compaction uses the
+        # blocked scan in ops/compaction.py precisely so the fused program
+        # fits the default scoped-VMEM budget (a raised
+        # xla_tpu_scoped_vmem_limit_kib masked the oversized monolithic scan
+        # as a runtime kernel fault on v5e).
+        self._fused_jit = jax.jit(fn)
         self._fused_count_keys = keys
         return engine
 
@@ -180,7 +183,11 @@ class NewtonsMethod:
             self._build_fused()
 
         data_static = self.get_static_data()
-        friction = self.get_friction_data() if self.get_friction_data else {}
+        # when friction tables are generated inside the fused program the
+        # host-refreshed dict is not an input (contact._before_time_step
+        # skips the host refresh entirely, saving its device->host sync)
+        friction = {} if self.fused_friction else (
+            self.get_friction_data() if self.get_friction_data else {})
         glob = self.get_glob()
         u0 = self.get_dofs()
         dtype = u0.dtype
@@ -206,7 +213,10 @@ class NewtonsMethod:
             while True:
                 u_out, packed = self._fused_jit(u0, data_static, friction, glob,
                                                 eng_state, dhat, params)
-                packed = np.asarray(packed)  # the ONE host pull
+                # the ONE host sync per step: stats vector + the DOF vector
+                # together (u feeds the host mirrors that the accept path and
+                # constraint checks read, avoiding further pulls)
+                u_np, packed = jax.device_get((u_out, packed))
                 counts = packed[10:]
                 if engine is not None and self._fused_count_keys and \
                         engine._check_overflow(self._fused_count_keys, counts):
@@ -218,6 +228,8 @@ class NewtonsMethod:
 
         code = int(packed[0])
         self.set_dofs(u_out)
+        if self.prime_host_dofs is not None:
+            self.prime_host_dofs(u_np)
 
         st = self.stats
         st.newton_iterations = int(packed[1])
