@@ -245,23 +245,36 @@ class ContactEngine:
         """Initial pair-buffer capacity sized from mesh statistics (a few
         live pairs per primitive is the realistic ceiling for IPC-thin
         contact), so capacity-bump recompiles of the fused program stay
-        rare. Overflow still doubles."""
+        rare. Overflow still doubles. Prefixes: "f_" friction pairs, "c_"
+        broad-phase candidates, "cf_" friction candidates, "i_" intersection
+        candidates."""
         if name not in self._caps:
-            stem = name[2:] if name.startswith("f_") else name
-            if stem == "pt_dd":
-                h = len(self.sv_gid)
-            elif stem == "pt_dr":
-                h = len(self.sv_gid)
-            elif stem == "pt_rd":
-                h = max(len(self.rv_body), len(self.ts) // 4)
-            elif stem == "pt_rr":
-                h = len(self.rv_body)
-            elif stem == "ee_dd":
-                h = 2 * len(self.es)
-            elif stem == "ee_dr":
-                h = max(len(self.er), len(self.es) // 2)
-            else:  # ee_rr
-                h = len(self.er)
+            if name.startswith("c_") or name.startswith("cf_"):
+                # candidate buffers (sphere-bound prefilter hits): an order of
+                # magnitude looser than the exact-distance pair buffers
+                final = self._cap(name.split("_", 1)[1] if name.startswith("c_")
+                                  else "f_" + name.split("_", 1)[1])
+                h = 16 * final
+            elif name.startswith("i_"):
+                kind = name[2:]
+                ne = len(self.es) if kind[0] == "s" else len(self.er)
+                h = max(4096, 4 * ne)
+            else:
+                stem = name[2:] if name.startswith("f_") else name
+                if stem == "pt_dd":
+                    h = len(self.sv_gid)
+                elif stem == "pt_dr":
+                    h = len(self.sv_gid)
+                elif stem == "pt_rd":
+                    h = max(len(self.rv_body), len(self.ts) // 4)
+                elif stem == "pt_rr":
+                    h = len(self.rv_body)
+                elif stem == "ee_dd":
+                    h = 2 * len(self.es)
+                elif stem == "ee_dr":
+                    h = max(len(self.er), len(self.es) // 2)
+                else:  # ee_rr
+                    h = len(self.er)
             cap = 256
             while cap < h:
                 cap *= 2
@@ -272,8 +285,17 @@ class ContactEngine:
     # pair generation (traced; shapes static given caps)
     # ------------------------------------------------------------------
     def _pt_pairs(self, stem, Vs, Vr, dhat_mat, extra_mat=None):
-        """Masked PT distances + compaction for one combo block.
-        Returns (p_idx, t_idx, active, d, count)."""
+        """Two-stage masked PT proximity for one combo block.
+
+        Stage 1 (broad phase, dense but ~10 flops/pair): point-vs-triangle
+        bounding-sphere test `|p-c|^2 <= (r+dhat)^2` over the full (P,T)
+        grid — the TPU-native replacement of tmcd's octree AABB overlap
+        (BroadPhasePTEEBase.cpp:51-100), conservative since
+        d(p,tri) >= |p-c| - r. Stage 2 (narrow phase): exact IPC
+        point-triangle distance evaluated ONLY on the compacted candidate
+        buffer, then re-compacted to the final pair capacity.
+
+        Returns (p_idx, t_idx, active, d, counts_dict, dhat_sel)."""
         if stem == "pt_dd":
             P, pm = Vs, self.sv_mesh
             T, tri, tm = Vs, self.ts, self.ts_mesh
@@ -294,27 +316,41 @@ class ContactEngine:
         t0 = T[tri[:, 0]]
         t1 = T[tri[:, 1]]
         t2 = T[tri[:, 2]]
-        D = jax.vmap(lambda p: jax.vmap(nph.point_triangle_distance,
-                                        in_axes=(None, 0, 0, 0))(p, t0, t1, t2))(P)
         dhat = dhat_mat[pm[:, None], tm[None, :]]
         allowed = jnp.asarray(self.enabled_mat[np.ix_(pm, tm)] & ~excl)
-        mask = allowed & (D <= dhat)
         if extra_mat is not None:
-            mask = mask & (extra_mat[pm[:, None], tm[None, :]] != 0.0)
-        cap = self._cap(("f_" if extra_mat is not None else "") + stem)
+            allowed = allowed & (extra_mat[pm[:, None], tm[None, :]] != 0.0)
+
+        # stage 1: bounding-sphere prefilter on the dense grid
+        c = (t0 + t1 + t2) / 3.0
+        r = jnp.sqrt(jnp.maximum(jnp.maximum(
+            jnp.sum((t0 - c) ** 2, -1), jnp.sum((t1 - c) ** 2, -1)),
+            jnp.sum((t2 - c) ** 2, -1)))
+        dc2 = jnp.sum((P[:, None, :] - c[None, :, :]) ** 2, -1)
+        pre = allowed & (dc2 <= (r[None, :] + dhat) ** 2)
+
+        pfx = "f_" if extra_mat is not None else ""
+        ccap = self._cap(("cf_" if extra_mat is not None else "c_") + stem)
+        cap = self._cap(pfx + stem)
         nt = len(tm)
-        flat = mask.ravel()
-        # blocked stream compaction (ops/compaction.py): true indices first;
-        # fill entries all alias index 0, so validity must come from the
-        # count, not flat[idx]
-        idx, count = compact_indices(flat, cap)
+        cidx, ccount = compact_indices(pre.ravel(), ccap)
+        cp = cidx // nt
+        ct = cidx % nt
+
+        # stage 2: exact IPC distance on candidates only
+        d_c = jax.vmap(nph.point_triangle_distance)(P[cp], t0[ct], t1[ct], t2[ct])
+        dhat_c = dhat.ravel()[cidx]
+        valid = (jnp.arange(ccap) < jnp.minimum(ccount, ccap)) & (d_c <= dhat_c)
+        sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
-        p_idx = idx // nt
-        t_idx = idx % nt
-        d = D.ravel()[idx]
-        return p_idx, t_idx, active, d, count, dhat.ravel()[idx]
+        counts = {pfx + stem: count, ("cf_" if extra_mat is not None else "c_") + stem: ccount}
+        return cp[sel], ct[sel], active, d_c[sel], counts, dhat_c[sel]
 
     def _ee_pairs(self, stem, Vs, Vr, dhat_mat, extra_mat=None):
+        """Two-stage masked EE proximity (see _pt_pairs): stage 1 is the
+        edge bounding-sphere test `|ma-mb|^2 <= (la/2+lb/2+dhat)^2` over the
+        dense grid, stage 2 the exact IPC edge-edge distance on compacted
+        candidates."""
         if stem == "ee_dd":
             EA, ea, eam = Vs, self.es, self.es_mesh
             EB, eb, ebm = Vs, self.es, self.es_mesh
@@ -330,22 +366,35 @@ class ContactEngine:
 
         a0, a1 = EA[ea[:, 0]], EA[ea[:, 1]]
         b0, b1 = EB[eb[:, 0]], EB[eb[:, 1]]
-        ptol = self.model.edge_edge_cross_norm_sq_cutoff
-        ee_dist = lambda x0, x1, y0, y1: nph.edge_edge_distance(
-            x0, x1, y0, y1, parallel_tol=ptol)
-        D = jax.vmap(lambda x0, x1: jax.vmap(
-            ee_dist, in_axes=(None, None, 0, 0))(x0, x1, b0, b1))(a0, a1)
         dhat = dhat_mat[eam[:, None], ebm[None, :]]
         allowed = jnp.asarray(self.enabled_mat[np.ix_(eam, ebm)] & ~excl)
-        mask = allowed & (D <= dhat)
         if extra_mat is not None:
-            mask = mask & (extra_mat[eam[:, None], ebm[None, :]] != 0.0)
-        cap = self._cap(("f_" if extra_mat is not None else "") + stem)
+            allowed = allowed & (extra_mat[eam[:, None], ebm[None, :]] != 0.0)
+
+        # stage 1: midpoint/half-length sphere bound, conservative since
+        # d(ea,eb) >= |ma-mb| - la/2 - lb/2
+        ma, ha = 0.5 * (a0 + a1), 0.5 * jnp.linalg.norm(a1 - a0, axis=-1)
+        mb, hb = 0.5 * (b0 + b1), 0.5 * jnp.linalg.norm(b1 - b0, axis=-1)
+        dm2 = jnp.sum((ma[:, None, :] - mb[None, :, :]) ** 2, -1)
+        pre = allowed & (dm2 <= (ha[:, None] + hb[None, :] + dhat) ** 2)
+
+        pfx = "f_" if extra_mat is not None else ""
+        ccap = self._cap(("cf_" if extra_mat is not None else "c_") + stem)
+        cap = self._cap(pfx + stem)
         nb = len(ebm)
-        flat = mask.ravel()
-        idx, count = compact_indices(flat, cap)
+        cidx, ccount = compact_indices(pre.ravel(), ccap)
+        ca = cidx // nb
+        cb = cidx % nb
+
+        ptol = self.model.edge_edge_cross_norm_sq_cutoff
+        d_c = jax.vmap(lambda x0, x1, y0, y1: nph.edge_edge_distance(
+            x0, x1, y0, y1, parallel_tol=ptol))(a0[ca], a1[ca], b0[cb], b1[cb])
+        dhat_c = dhat.ravel()[cidx]
+        valid = (jnp.arange(ccap) < jnp.minimum(ccount, ccap)) & (d_c <= dhat_c)
+        sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
-        return idx // nb, idx % nb, active, D.ravel()[idx], count, dhat.ravel()[idx]
+        counts = {pfx + stem: count, ("cf_" if extra_mat is not None else "c_") + stem: ccount}
+        return ca[sel], cb[sel], active, d_c[sel], counts, dhat_c[sel]
 
     # ------------------------------------------------------------------
     # family data builders (traced)
@@ -438,12 +487,12 @@ class ContactEngine:
         counts = {}
         for stem in self._blocks():
             if stem.startswith("pt"):
-                p_idx, t_idx, active, d, count, dh = self._pt_pairs(stem, Vs, Vr, dhat_mat)
+                p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(stem, Vs, Vr, dhat_mat)
                 out["contact_" + stem] = self._pt_family_data(stem, p_idx, t_idx, active, dh)
             else:
-                a_idx, b_idx, active, d, count, dh = self._ee_pairs(stem, Vs, Vr, dhat_mat)
+                a_idx, b_idx, active, d, cnts, dh = self._ee_pairs(stem, Vs, Vr, dhat_mat)
                 out["contact_" + stem] = self._ee_family_data(stem, a_idx, b_idx, active, dh)
-            counts[stem] = count
+            counts.update(cnts)
         return out, counts
 
     def glob_from_u(self, u, state, dt):
@@ -517,7 +566,7 @@ class ContactEngine:
         counts = {}
         for stem in self._blocks():
             if stem.startswith("pt"):
-                p_idx, t_idx, active, d, count, dh = self._pt_pairs(
+                p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(
                     stem, Vs, Vr, dhat_mat, extra_mat=mu_mat)
                 fd = self._pt_family_data(stem, p_idx, t_idx, active, dh)
                 P = (Vs if stem in ("pt_dd", "pt_dr") else Vr)[p_idx]
@@ -537,7 +586,7 @@ class ContactEngine:
                 fd["rows"]["fn"] = barrier_force_wrap(d, dh, k, btype)
                 out["friction_" + stem] = fd
             else:
-                a_idx, b_idx, active, d, count, dh = self._ee_pairs(
+                a_idx, b_idx, active, d, cnts, dh = self._ee_pairs(
                     stem, Vs, Vr, dhat_mat, extra_mat=mu_mat)
                 fd = self._ee_family_data(stem, a_idx, b_idx, active, dh)
                 EA = Vs if stem == "ee_dd" else Vr
@@ -561,7 +610,7 @@ class ContactEngine:
                 fd["rows"]["mu"] = mu_mat[am, bm]
                 fd["rows"]["fn"] = barrier_force_wrap(d, dh, k, btype)
                 out["friction_" + stem] = fd
-            counts["f_" + stem] = count
+            counts.update(cnts)
         return out, counts
 
     def refresh_friction(self, dt):
@@ -591,27 +640,45 @@ class ContactEngine:
         Vs, Vr = self._world(glob, glob["dt"])
         hit = jnp.zeros((), bool)
 
-        def run(E, edges, T, tris, excl):
+        def run(E, edges, T, tris, excl, ikey):
             p0, p1 = E[edges[:, 0]], E[edges[:, 1]]
             t0, t1, t2 = T[tris[:, 0]], T[tris[:, 1]], T[tris[:, 2]]
-            H = jax.vmap(lambda a, b: jax.vmap(
-                nph.segment_triangle_intersects, in_axes=(None, None, 0, 0, 0))(
-                    a, b, t0, t1, t2))(p0, p1)
-            return jnp.any(H & jnp.asarray(~excl))
+            # stage 1: midpoint/bounding-sphere prefilter (a segment can only
+            # intersect a triangle if |m_e - c_t| <= l_e/2 + r_t)
+            c = (t0 + t1 + t2) / 3.0
+            r = jnp.sqrt(jnp.maximum(jnp.maximum(
+                jnp.sum((t0 - c) ** 2, -1), jnp.sum((t1 - c) ** 2, -1)),
+                jnp.sum((t2 - c) ** 2, -1)))
+            m = 0.5 * (p0 + p1)
+            h = 0.5 * jnp.linalg.norm(p1 - p0, axis=-1)
+            dm2 = jnp.sum((m[:, None, :] - c[None, :, :]) ** 2, -1)
+            pre = jnp.asarray(~excl) & (dm2 <= (h[:, None] + r[None, :]) ** 2)
+            icap = self._cap(ikey)
+            nt = tris.shape[0]
+            cidx, ccount = compact_indices(pre.ravel(), icap)
+            ce, ct = cidx // nt, cidx % nt
+            # stage 2: exact segment-triangle test on candidates only;
+            # candidate overflow reports "intersecting" (conservative: forces
+            # step halving; the host bumps the cap on the staged path)
+            isect = jax.vmap(nph.segment_triangle_intersects)(
+                p0[ce], p1[ce], t0[ct], t1[ct], t2[ct])
+            valid = jnp.arange(icap) < jnp.minimum(ccount, icap)
+            return jnp.any(isect & valid) | (ccount > icap)
 
         # soft edges vs soft tris / rigid tris; rigid edges vs soft tris / rigid tris
         if len(self.es) and len(self.ts):
-            hit |= run(Vs, jnp.asarray(self.es), Vs, jnp.asarray(self.ts), self.et_ss_excl)
+            hit |= run(Vs, jnp.asarray(self.es), Vs, jnp.asarray(self.ts),
+                       self.et_ss_excl, "i_ss")
         if len(self.es) and len(self.tr):
             hit |= run(Vs, jnp.asarray(self.es), Vr, jnp.asarray(self.tr),
-                       np.zeros((len(self.es), len(self.tr)), dtype=bool))
+                       np.zeros((len(self.es), len(self.tr)), dtype=bool), "i_sr")
         if len(self.er) and len(self.ts):
             hit |= run(Vr, jnp.asarray(self.er), Vs, jnp.asarray(self.ts),
-                       np.zeros((len(self.er), len(self.ts)), dtype=bool))
+                       np.zeros((len(self.er), len(self.ts)), dtype=bool), "i_rs")
         if len(self.er) and len(self.tr):
             # same-mesh rigid self-intersection cannot change; exclude same mesh
             excl = self.et_rr_excl | (self.er_mesh[:, None] == self.tr_mesh[None, :])
-            hit |= run(Vr, jnp.asarray(self.er), Vr, jnp.asarray(self.tr), excl)
+            hit |= run(Vr, jnp.asarray(self.er), Vr, jnp.asarray(self.tr), excl, "i_rr")
         return hit
 
     def has_intersection(self, dt) -> bool:

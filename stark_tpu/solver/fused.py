@@ -60,7 +60,10 @@ def build_fused_solve(nm, engine):
     beta = s.line_search_armijo_beta
     enable_bt = s.enable_armijo_backtracking
 
-    count_keys = sorted(engine._blocks()) if engine is not None else []
+    # monitor both the exact-pair buffers and the broad-phase candidate
+    # buffers for overflow (either triggers a host-side cap bump + re-trace)
+    count_keys = (sorted(engine._blocks()) + sorted("c_" + b for b in engine._blocks())
+                  ) if engine is not None else []
 
     def contact_tables(u, eng_state, dt, dhat_mat):
         if engine is None:
