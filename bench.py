@@ -29,10 +29,7 @@ def build_scene(n_quads=32, duration=10.0, dtype="float32"):
     s.output.enable_output = False
     s.output.enable_frame_writes = False
     s.device.dtype = dtype
-    # f32 needs loosened tolerances relative to the all-double reference
-    if dtype == "float32":
-        s.newton.residual_tolerance_abs = 1e-3
-        s.newton.cg_abs_tolerance = 1e-6
+    # tolerances derive from the dtype (NewtonSettings.resolve_for_dtype)
     sim = Simulation(s)
 
     from stark_tpu.models.interactions.contact import ContactGlobalParams
@@ -67,22 +64,25 @@ def main():
     logger = sim.get_logger()
     warm_newton = logger.get_stats("newton_iterations").total
 
+    pair_acc = {"total": 0, "last": 0}
+
+    def track_pairs():
+        nm = sim.stark.newton
+        if nm is not None:
+            pair_acc["last"] = nm.live_contact_pairs()
+            pair_acc["total"] += pair_acc["last"]
+
     t0 = time.perf_counter()
     t_sim0 = sim.get_time()
-    ok = sim.run(duration=sim_seconds)
+    ok = sim.run(duration=sim_seconds, callback=track_pairs)
     wall = time.perf_counter() - t0
 
     newton_iters = logger.get_stats("newton_iterations").total - warm_newton
     sim_advanced = sim.get_time() - t_sim0
     iters_per_s = newton_iters / wall if wall > 0 else 0.0
     sim_sec_per_wall_hour = sim_advanced / wall * 3600.0
-
-    # contact pairs/s: active pairs summed over steps / wall
-    eng = sim.interactions.contact._engine
-    pairs_now = 0
-    if eng is not None:
-        for fd in eng._contact_data.values():
-            pairs_now += int(np.sum(np.asarray(fd["rows"]["active"]) > 0.5))
+    pairs_now = pair_acc["last"]
+    pairs_per_s = pair_acc["total"] / wall if wall > 0 else 0.0
 
     vs_baseline = None
     try:
@@ -102,8 +102,10 @@ def main():
             "ok": bool(ok),
             "sim_sec_per_wall_hour": round(sim_sec_per_wall_hour, 2),
             "contact_pairs_live": pairs_now,
+            "contact_pairs_per_s": round(pairs_per_s, 1),
             "newton_iters": int(newton_iters),
             "wall_s": round(wall, 2),
+            "fused_retraces": int(logger.get_int("fused_retraces")),
             "dtype": dtype,
         },
     }))

@@ -75,10 +75,22 @@ class NewtonSettings:
     # Iteration limits
     max_iterations: int = 2**31 - 1
     min_iterations: int = 0
-    # Convergence
-    residual_tolerance_abs: float = 1e-6
-    residual_tolerance_rel: float = 0.0
-    step_tolerance: float = 0.0
+    # Convergence. None = derived from the device dtype at initialization
+    # (resolve_for_dtype). The ABSOLUTE tolerance stays at the reference's
+    # 1e-6 for BOTH dtypes: the residual's magnitude is scene-scale (~mass *
+    # g * dt per node), and loosening abs for f32 froze light cloth mid-air
+    # (gravity gradient ~4e-4 < 1e-3 -> "converged" at zero velocity).
+    # Under f32 the gradient NOISE floor (~eps32 * force scale) can sit above
+    # 1e-6 on stiff scenes, so f32 additionally derives a RELATIVE fallback
+    # (res/res0 < 1e-3) — the reference has the same rel test, disabled.
+    residual_tolerance_abs: float = None
+    residual_tolerance_rel: float = None
+    # f32 also derives a step tolerance (velocity units): near quasi-static
+    # convergence the f32 gradient noise floor (eps32 * balancing-force
+    # magnitude) can exceed residual_tolerance_abs while the Newton step is
+    # ~1e-8 — without a step exit the solver spins Armijo on noise and the
+    # dt ladder deadlocks.
+    step_tolerance: float = None
     max_iterations_as_success: bool = False
     # Line search
     step_cap: float = math.inf
@@ -94,13 +106,30 @@ class NewtonSettings:
     project_on_demand_countdown: int = 4
     ppn_tightening_factor: float = 0.5
     ppn_release_factor: float = 2.0
-    # Linear solver
+    # Linear solver (None tolerances derived per dtype, see above)
     linear_solver: LinearSolver = LinearSolver.BDPCG
     cg_max_iterations: int = 10000
-    cg_abs_tolerance: float = 1e-12
+    cg_abs_tolerance: float = None
     cg_rel_tolerance: float = 1e-4
     cg_stop_on_indefiniteness: bool = True
-    bailout_residual: float = 1e-10
+    bailout_residual: float = None
+
+    def resolve_for_dtype(self, dtype: str):
+        """Fill None tolerance fields with dtype-derived defaults. The f64
+        values are the reference's (solver_utils.h:173-259, Settings.cpp:47);
+        f32 keeps the same absolute target but adds the relative fallback and
+        floors the sub-f32-precision knobs (see field comments)."""
+        f32 = dtype == "float32"
+        if self.residual_tolerance_abs is None:
+            self.residual_tolerance_abs = 1e-6
+        if self.residual_tolerance_rel is None:
+            self.residual_tolerance_rel = 1e-3 if f32 else 0.0
+        if self.step_tolerance is None:
+            self.step_tolerance = 1e-5 if f32 else 0.0
+        if self.cg_abs_tolerance is None:
+            self.cg_abs_tolerance = 1e-6 if f32 else 1e-12
+        if self.bailout_residual is None:
+            self.bailout_residual = 1e-7 if f32 else 1e-10
 
 
 @dataclass
@@ -110,6 +139,9 @@ class DeviceSettings:
     n_devices: int = 1           # size of the jax.sharding mesh data axis
     element_pad_multiple: int = 8   # pad element tables to this multiple (static shapes)
     donate_buffers: bool = True
+    # PD-projection eigensolver: None = auto (exact eigh on CPU, 8-sweep
+    # batched cyclic Jacobi on accelerators), 0 = exact eigh, N = N sweeps
+    jacobi_sweeps: int = None
 
 
 @dataclass

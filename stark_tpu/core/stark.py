@@ -28,6 +28,8 @@ from .settings import Settings, Verbosity
 class Stark:
     def __init__(self, settings: Settings):
         self.settings = settings
+        # fill dtype-derived tolerance defaults (None fields)
+        settings.newton.resolve_for_dtype(settings.device.dtype)
         out = settings.output
         log_path = None
         file_path = None
@@ -204,7 +206,9 @@ class Stark:
             get_static_data=c.get("get_static_data"),
             get_friction_data=c.get("get_friction_data"),
             get_engine=c.get("get_engine"),
+            jacobi_sweeps=self.settings.device.jacobi_sweeps,
         )
+        self.newton.diagnostic_dir = self.settings.output.output_directory
         self._write_frame()
         self.callbacks.run_before_simulation()
         if not self.callbacks.newton.run_is_initial_state_valid():

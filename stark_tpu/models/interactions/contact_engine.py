@@ -207,9 +207,23 @@ class ContactEngine:
             glob["rb_w1"] = m.rb_dyn.w1
         return glob
 
-    def _dhat_mat(self):
-        th = np.asarray(self.model.contact_thicknesses)
-        return jnp.asarray(th[:, None] + th[None, :], self.dtype)
+    def _th_vec(self):
+        """Per-mesh contact thickness vector. dhat for a pair is th[a]+th[b],
+        computed as a SEPARABLE broadcast th_a[:,None]+th_b[None,:] — never as
+        a 2D-indexed gather dhat_mat[pm[:,None], tm[None,:]]: XLA fuses that
+        gather into the O(N^2) prefilter loop and it measured 106 ms/iter of
+        pure device time (vs 0.004 ms for the broadcast form) on v5e."""
+        return jnp.asarray(self.model.contact_thicknesses, self.dtype)
+
+    @staticmethod
+    def _lift_mesh_pair(mat, pm, tm):
+        """Lift a per-mesh-pair (M,M) matrix to primitive pairs (Np,Nt) via
+        one-hot matmuls on the MXU (O(N^2 M) flops, no per-element gather —
+        see _th_vec note). pm/tm are static numpy index vectors."""
+        M = mat.shape[0]
+        oh_p = (jnp.asarray(pm)[:, None] == jnp.arange(M)[None, :]).astype(mat.dtype)
+        oh_t = (jnp.asarray(tm)[:, None] == jnp.arange(M)[None, :]).astype(mat.dtype)
+        return (oh_p @ mat) @ oh_t.T
 
     def _mu_mat(self):
         nm = len(self.model.contact_thicknesses)
@@ -251,9 +265,11 @@ class ContactEngine:
         if name not in self._caps:
             if name.startswith("c_") or name.startswith("cf_"):
                 # candidate buffers (sphere-bound prefilter hits): an order of
-                # magnitude looser than the exact-distance pair buffers
-                final = self._cap(name.split("_", 1)[1] if name.startswith("c_")
-                                  else "f_" + name.split("_", 1)[1])
+                # magnitude looser than the exact-distance pair buffers.
+                # NOTE: check the cf_ prefix FIRST ('cf_x'.startswith('c_') is
+                # also true) so friction candidates size from the f_ pair cap.
+                final = self._cap("f_" + name[3:] if name.startswith("cf_")
+                                  else name[2:])
                 h = 16 * final
             elif name.startswith("i_"):
                 kind = name[2:]
@@ -284,7 +300,7 @@ class ContactEngine:
     # ------------------------------------------------------------------
     # pair generation (traced; shapes static given caps)
     # ------------------------------------------------------------------
-    def _pt_pairs(self, stem, Vs, Vr, dhat_mat, extra_mat=None):
+    def _pt_pairs(self, stem, Vs, Vr, th, extra_mat=None):
         """Two-stage masked PT proximity for one combo block.
 
         Stage 1 (broad phase, dense but ~10 flops/pair): point-vs-triangle
@@ -316,18 +332,20 @@ class ContactEngine:
         t0 = T[tri[:, 0]]
         t1 = T[tri[:, 1]]
         t2 = T[tri[:, 2]]
-        dhat = dhat_mat[pm[:, None], tm[None, :]]
+        th_p = th[jnp.asarray(pm)]   # (Np,) per-primitive thickness
+        th_t = th[jnp.asarray(tm)]   # (Nt,)
         allowed = jnp.asarray(self.enabled_mat[np.ix_(pm, tm)] & ~excl)
         if extra_mat is not None:
-            allowed = allowed & (extra_mat[pm[:, None], tm[None, :]] != 0.0)
+            allowed = allowed & (self._lift_mesh_pair(extra_mat, pm, tm) != 0.0)
 
-        # stage 1: bounding-sphere prefilter on the dense grid
+        # stage 1: bounding-sphere prefilter on the dense grid (dhat enters
+        # as the separable broadcast th_p + th_t, see _th_vec)
         c = (t0 + t1 + t2) / 3.0
         r = jnp.sqrt(jnp.maximum(jnp.maximum(
             jnp.sum((t0 - c) ** 2, -1), jnp.sum((t1 - c) ** 2, -1)),
             jnp.sum((t2 - c) ** 2, -1)))
         dc2 = jnp.sum((P[:, None, :] - c[None, :, :]) ** 2, -1)
-        pre = allowed & (dc2 <= (r[None, :] + dhat) ** 2)
+        pre = allowed & (dc2 <= (r[None, :] + th_p[:, None] + th_t[None, :]) ** 2)
 
         pfx = "f_" if extra_mat is not None else ""
         ccap = self._cap(("cf_" if extra_mat is not None else "c_") + stem)
@@ -339,14 +357,14 @@ class ContactEngine:
 
         # stage 2: exact IPC distance on candidates only
         d_c = jax.vmap(nph.point_triangle_distance)(P[cp], t0[ct], t1[ct], t2[ct])
-        dhat_c = dhat.ravel()[cidx]
+        dhat_c = th_p[cp] + th_t[ct]
         valid = (jnp.arange(ccap) < jnp.minimum(ccount, ccap)) & (d_c <= dhat_c)
         sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
         counts = {pfx + stem: count, ("cf_" if extra_mat is not None else "c_") + stem: ccount}
         return cp[sel], ct[sel], active, d_c[sel], counts, dhat_c[sel]
 
-    def _ee_pairs(self, stem, Vs, Vr, dhat_mat, extra_mat=None):
+    def _ee_pairs(self, stem, Vs, Vr, th, extra_mat=None):
         """Two-stage masked EE proximity (see _pt_pairs): stage 1 is the
         edge bounding-sphere test `|ma-mb|^2 <= (la/2+lb/2+dhat)^2` over the
         dense grid, stage 2 the exact IPC edge-edge distance on compacted
@@ -366,17 +384,20 @@ class ContactEngine:
 
         a0, a1 = EA[ea[:, 0]], EA[ea[:, 1]]
         b0, b1 = EB[eb[:, 0]], EB[eb[:, 1]]
-        dhat = dhat_mat[eam[:, None], ebm[None, :]]
+        th_a = th[jnp.asarray(eam)]
+        th_b = th[jnp.asarray(ebm)]
         allowed = jnp.asarray(self.enabled_mat[np.ix_(eam, ebm)] & ~excl)
         if extra_mat is not None:
-            allowed = allowed & (extra_mat[eam[:, None], ebm[None, :]] != 0.0)
+            allowed = allowed & (self._lift_mesh_pair(extra_mat, eam, ebm) != 0.0)
 
         # stage 1: midpoint/half-length sphere bound, conservative since
-        # d(ea,eb) >= |ma-mb| - la/2 - lb/2
+        # d(ea,eb) >= |ma-mb| - la/2 - lb/2 (dhat as separable broadcast,
+        # see _th_vec)
         ma, ha = 0.5 * (a0 + a1), 0.5 * jnp.linalg.norm(a1 - a0, axis=-1)
         mb, hb = 0.5 * (b0 + b1), 0.5 * jnp.linalg.norm(b1 - b0, axis=-1)
         dm2 = jnp.sum((ma[:, None, :] - mb[None, :, :]) ** 2, -1)
-        pre = allowed & (dm2 <= (ha[:, None] + hb[None, :] + dhat) ** 2)
+        pre = allowed & (dm2 <= (ha[:, None] + hb[None, :]
+                                 + th_a[:, None] + th_b[None, :]) ** 2)
 
         pfx = "f_" if extra_mat is not None else ""
         ccap = self._cap(("cf_" if extra_mat is not None else "c_") + stem)
@@ -389,7 +410,7 @@ class ContactEngine:
         ptol = self.model.edge_edge_cross_norm_sq_cutoff
         d_c = jax.vmap(lambda x0, x1, y0, y1: nph.edge_edge_distance(
             x0, x1, y0, y1, parallel_tol=ptol))(a0[ca], a1[ca], b0[cb], b1[cb])
-        dhat_c = dhat.ravel()[cidx]
+        dhat_c = th_a[ca] + th_b[cb]
         valid = (jnp.arange(ccap) < jnp.minimum(ccount, ccap)) & (d_c <= dhat_c)
         sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
@@ -481,16 +502,16 @@ class ContactEngine:
     # ------------------------------------------------------------------
     # contact refresh (every Newton energy evaluation)
     # ------------------------------------------------------------------
-    def _contacts_fn(self, glob, dhat_mat):
+    def _contacts_fn(self, glob, th):
         Vs, Vr = self._world(glob, glob["dt"])
         out = {}
         counts = {}
         for stem in self._blocks():
             if stem.startswith("pt"):
-                p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(stem, Vs, Vr, dhat_mat)
+                p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(stem, Vs, Vr, th)
                 out["contact_" + stem] = self._pt_family_data(stem, p_idx, t_idx, active, dh)
             else:
-                a_idx, b_idx, active, d, cnts, dh = self._ee_pairs(stem, Vs, Vr, dhat_mat)
+                a_idx, b_idx, active, d, cnts, dh = self._ee_pairs(stem, Vs, Vr, th)
                 out["contact_" + stem] = self._ee_family_data(stem, a_idx, b_idx, active, dh)
             counts.update(cnts)
         return out, counts
@@ -542,12 +563,12 @@ class ContactEngine:
 
     def refresh_contacts(self, dt):
         glob = self._engine_glob(dt)
-        dhat_mat = self._dhat_mat()
+        th = self._th_vec()
         key = "contacts"
         if key not in self._jits:
             self._jits[key] = jax.jit(self._contacts_fn)
         while True:
-            data, counts = self._jits[key](glob, dhat_mat)
+            data, counts = self._jits[key](glob, th)
             keys, arr = self._stack_counts(counts)
             if not self._check_overflow(keys, arr):
                 break
@@ -558,7 +579,7 @@ class ContactEngine:
     # ------------------------------------------------------------------
     # friction refresh (once per step, dt=0 geometry)
     # ------------------------------------------------------------------
-    def _friction_fn(self, glob, dhat_mat, mu_mat, k):
+    def _friction_fn(self, glob, th, mu_mat, k):
         zero_dt = jnp.asarray(0.0, self.dtype)
         Vs, Vr = self._world(glob, zero_dt)
         btype = self.model.ipc_barrier_type
@@ -567,7 +588,7 @@ class ContactEngine:
         for stem in self._blocks():
             if stem.startswith("pt"):
                 p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(
-                    stem, Vs, Vr, dhat_mat, extra_mat=mu_mat)
+                    stem, Vs, Vr, th, extra_mat=mu_mat)
                 fd = self._pt_family_data(stem, p_idx, t_idx, active, dh)
                 P = (Vs if stem in ("pt_dd", "pt_dr") else Vr)[p_idx]
                 T3 = Vs if stem in ("pt_dd", "pt_rd") else Vr
@@ -587,7 +608,7 @@ class ContactEngine:
                 out["friction_" + stem] = fd
             else:
                 a_idx, b_idx, active, d, cnts, dh = self._ee_pairs(
-                    stem, Vs, Vr, dhat_mat, extra_mat=mu_mat)
+                    stem, Vs, Vr, th, extra_mat=mu_mat)
                 fd = self._ee_family_data(stem, a_idx, b_idx, active, dh)
                 EA = Vs if stem == "ee_dd" else Vr
                 EB = Vs if stem in ("ee_dd", "ee_dr") else Vr
@@ -615,7 +636,7 @@ class ContactEngine:
 
     def refresh_friction(self, dt):
         glob = self._engine_glob(dt)
-        dhat_mat = self._dhat_mat()
+        th = self._th_vec()
         mu_mat = self._mu_mat()
         if not bool(np.any(np.asarray(mu_mat) != 0.0)):
             self._friction_data = {}
@@ -625,7 +646,7 @@ class ContactEngine:
         if key not in self._jits:
             self._jits[key] = jax.jit(self._friction_fn)
         while True:
-            data, counts = self._jits[key](glob, dhat_mat, mu_mat, k)
+            data, counts = self._jits[key](glob, th, mu_mat, k)
             keys, arr = self._stack_counts(counts)
             if not self._check_overflow(keys, arr):
                 break
@@ -636,9 +657,28 @@ class ContactEngine:
     # ------------------------------------------------------------------
     # intersection oracle
     # ------------------------------------------------------------------
+    def _i_blocks(self):
+        """Active intersection candidate blocks (cap keys)."""
+        keys = []
+        if len(self.es) and len(self.ts):
+            keys.append("i_ss")
+        if len(self.es) and len(self.tr):
+            keys.append("i_sr")
+        if len(self.er) and len(self.ts):
+            keys.append("i_rs")
+        if len(self.er) and len(self.tr):
+            keys.append("i_rr")
+        return keys
+
     def _intersect_fn(self, glob):
+        """Returns (hit, counts) where counts maps each i_ block to its true
+        candidate count. Candidate overflow reports hit=True (conservative)
+        AND surfaces the count so the host can bump the cap and re-trace —
+        without the count an overflowed cap would report 'intersecting'
+        forever and deadlock the retry ladder."""
         Vs, Vr = self._world(glob, glob["dt"])
         hit = jnp.zeros((), bool)
+        counts = {}
 
         def run(E, edges, T, tris, excl, ikey):
             p0, p1 = E[edges[:, 0]], E[edges[:, 1]]
@@ -659,34 +699,50 @@ class ContactEngine:
             ce, ct = cidx // nt, cidx % nt
             # stage 2: exact segment-triangle test on candidates only;
             # candidate overflow reports "intersecting" (conservative: forces
-            # step halving; the host bumps the cap on the staged path)
+            # step halving) and the surfaced count triggers a cap bump
             isect = jax.vmap(nph.segment_triangle_intersects)(
                 p0[ce], p1[ce], t0[ct], t1[ct], t2[ct])
             valid = jnp.arange(icap) < jnp.minimum(ccount, icap)
-            return jnp.any(isect & valid) | (ccount > icap)
+            return jnp.any(isect & valid) | (ccount > icap), ccount
 
         # soft edges vs soft tris / rigid tris; rigid edges vs soft tris / rigid tris
         if len(self.es) and len(self.ts):
-            hit |= run(Vs, jnp.asarray(self.es), Vs, jnp.asarray(self.ts),
-                       self.et_ss_excl, "i_ss")
+            h, counts["i_ss"] = run(Vs, jnp.asarray(self.es), Vs, jnp.asarray(self.ts),
+                                    self.et_ss_excl, "i_ss")
+            hit |= h
         if len(self.es) and len(self.tr):
-            hit |= run(Vs, jnp.asarray(self.es), Vr, jnp.asarray(self.tr),
-                       np.zeros((len(self.es), len(self.tr)), dtype=bool), "i_sr")
+            h, counts["i_sr"] = run(Vs, jnp.asarray(self.es), Vr, jnp.asarray(self.tr),
+                                    np.zeros((len(self.es), len(self.tr)), dtype=bool),
+                                    "i_sr")
+            hit |= h
         if len(self.er) and len(self.ts):
-            hit |= run(Vr, jnp.asarray(self.er), Vs, jnp.asarray(self.ts),
-                       np.zeros((len(self.er), len(self.ts)), dtype=bool), "i_rs")
+            h, counts["i_rs"] = run(Vr, jnp.asarray(self.er), Vs, jnp.asarray(self.ts),
+                                    np.zeros((len(self.er), len(self.ts)), dtype=bool),
+                                    "i_rs")
+            hit |= h
         if len(self.er) and len(self.tr):
             # same-mesh rigid self-intersection cannot change; exclude same mesh
             excl = self.et_rr_excl | (self.er_mesh[:, None] == self.tr_mesh[None, :])
-            hit |= run(Vr, jnp.asarray(self.er), Vr, jnp.asarray(self.tr), excl, "i_rr")
-        return hit
+            h, counts["i_rr"] = run(Vr, jnp.asarray(self.er), Vr, jnp.asarray(self.tr),
+                                    excl, "i_rr")
+            hit |= h
+        return hit, counts
 
     def has_intersection(self, dt) -> bool:
         glob = self._engine_glob(dt)
         key = "intersect"
         if key not in self._jits:
             self._jits[key] = jax.jit(self._intersect_fn)
-        return bool(self._jits[key](glob))
+        while True:
+            hit, counts = self._jits[key](glob)
+            if not counts:
+                break
+            keys, arr = self._stack_counts(counts)
+            if not self._check_overflow(keys, arr):
+                break
+            self._jits.pop(key)
+            self._jits[key] = jax.jit(self._intersect_fn)
+        return bool(hit)
 
     # ------------------------------------------------------------------
     def current_family_data(self):

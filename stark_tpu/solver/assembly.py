@@ -72,10 +72,14 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         return E, grad
 
     def energy_grad_hess(u, data, glob):
-        """Returns (E, grad, {name: H (E, arity*3, arity*3)}). The per-family
-        dense element Hessians play the role of ElementHessians chunk storage
-        (ElementHessians.h:22-104) but stay on device, uniform per family."""
+        """Returns (E, E_abs, grad, {name: H (E, arity*3, arity*3)}). The
+        per-family dense element Hessians play the role of ElementHessians
+        chunk storage (ElementHessians.h:22-104) but stay on device, uniform
+        per family. E_abs = sum of |per-element energies| — the scale whose
+        product with eps(dtype) is the rounding-noise floor of any energy
+        difference, used by the solver's noise-aware convergence tests."""
         E = jnp.zeros((), dtype=_ACC)
+        E_abs = jnp.zeros((), dtype=_ACC)
         grad = jnp.zeros((n_blocks, 3), dtype=u.dtype)
         hess: Dict[str, jnp.ndarray] = {}
         for name, fd in data.items():
@@ -89,6 +93,7 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
                 u_e, fd["rows"], glob)
             mask = _active_mask(fd["rows"])
             E = E + jnp.sum(jnp.where(mask, e, 0.0).astype(_ACC))
+            E_abs = E_abs + jnp.sum(jnp.where(mask, jnp.abs(e), 0.0).astype(_ACC))
             g_e = jnp.where(mask[:, None, None], g_e, 0.0)
             grad = grad + jax.ops.segment_sum(
                 g_e.reshape(-1, 3), fd["conn"].reshape(-1), num_segments=n_blocks)
@@ -98,37 +103,134 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             # symmetric Hessian derivation (diff.cpp:88-99)
             H_e = 0.5 * (H_e + jnp.swapaxes(H_e, 1, 2))
             hess[name] = H_e
-        return E, grad, hess
+        return E, E_abs, grad, hess
+
+    def hvp_context(data, hess):
+        """Concatenate element Hessians + connectivity by arity so each CG
+        iteration runs ONE gather + ONE batched matvec + ONE reduction per
+        arity group instead of one triple per family (the reference gets the
+        same effect from a single blocked-CSR SpMV, BlockedSparseMatrix.h:
+        128-148). Built once per Newton iteration; loop-invariant for CG.
+
+        Canonical order: arity groups ascending, families sorted by name
+        within a group — every flat row vector derived from the context
+        (scatter tables, q_e concatenation) uses this order."""
+        groups = {}
+        for name in sorted(hess.keys()):
+            a = fam_by_name[name].arity
+            groups.setdefault(a, []).append(
+                (data[name]["conn"], hess[name], data[name]["rows"]["active"]))
+        ctx = {}
+        for a in sorted(groups.keys()):
+            items = groups[a]
+            conn = jnp.concatenate([c for c, _, _ in items], axis=0) \
+                if len(items) > 1 else items[0][0]
+            H = jnp.concatenate([h for _, h, _ in items], axis=0) \
+                if len(items) > 1 else items[0][1]
+            act = jnp.concatenate([m for _, _, m in items], axis=0) \
+                if len(items) > 1 else items[0][2]
+            ctx[a] = (conn, H, act > 0.5)
+        return ctx
+
+    def hvp_ctx(p, ctx):
+        """q = H p, matrix-free over the arity-consolidated context
+        (segment_sum scatter variant, used by the staged host path)."""
+        q = jnp.zeros((n_blocks, 3), dtype=p.dtype)
+        for a in sorted(ctx.keys()):
+            conn, H_e, _ = ctx[a]
+            p_e = _gather(p, conn).reshape(-1, a * 3)
+            q_e = jnp.einsum("eij,ej->ei", H_e, p_e)
+            q = q + jax.ops.segment_sum(
+                q_e.reshape(-1, 3), conn.reshape(-1), num_segments=n_blocks)
+        return q
 
     def hvp(p, data, hess):
         """q = H p, matrix-free (replaces bsm::spmxv, BlockedSparseMatrix.h:128-148)."""
-        q = jnp.zeros((n_blocks, 3), dtype=p.dtype)
-        for name, H_e in hess.items():
-            fd = data[name]
-            a = fam_by_name[name].arity
-            p_e = _gather(p, fd["conn"]).reshape(-1, a * 3)
-            q_e = jnp.einsum("eij,ej->ei", H_e, p_e)
-            q = q + jax.ops.segment_sum(
-                q_e.reshape(-1, 3), fd["conn"].reshape(-1), num_segments=n_blocks)
-        return q
+        return hvp_ctx(p, hvp_context(data, hess))
 
-    def diag_blocks(data, hess):
+    # ------------------------------------------------------------------
+    # gather-based segmented sum for the CG loop.
+    #
+    # jax.ops.segment_sum lowers to an XLA scatter-add, which measured
+    # ~0.9 ms per call on v5e for ~60k rows -> 1k blocks — at 150 CG
+    # iterations per Newton step that is the single largest cost in the
+    # solve. Instead: sort the flat row ids ONCE per Newton iteration and
+    # build a (n_blocks, K) gather table of value-row indices; every CG
+    # iteration then reduces with pure gathers (fast on TPU). This is the
+    # TPU-native analog of the reference's per-thread accumulate + merge
+    # (ElementHessians.h:56-59) with the merge precomputed.
+    # ------------------------------------------------------------------
+    def scatter_table(ctx, K: int):
+        """Build the gather table. Padded (inactive) rows are routed to a
+        dummy segment so compaction padding cannot pile degree onto block 0.
+
+        Returns (entry, n_rows, max_len): entry (n_blocks, K) indexes into
+        the flat canonical q_e row vector (value n_rows = zero pad row);
+        max_len > K signals overflow (host must bump K and re-trace)."""
+        rows_parts = []
+        for a in sorted(ctx.keys()):
+            conn, _, act = ctx[a]
+            r = jnp.where(act[:, None], conn, n_blocks).reshape(-1)
+            rows_parts.append(r)
+        rows = jnp.concatenate(rows_parts) if len(rows_parts) > 1 else rows_parts[0]
+        R = rows.shape[0]
+        order = jnp.argsort(rows)
+        rows_sorted = rows[order]
+        ids = jnp.arange(n_blocks, dtype=rows.dtype)
+        starts = jnp.searchsorted(rows_sorted, ids, side="left")
+        ends = jnp.searchsorted(rows_sorted, ids, side="right")
+        lens = (ends - starts).astype(jnp.int32)
+        pos = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+        valid = jnp.arange(K, dtype=jnp.int32)[None, :] < lens[:, None]
+        entry = jnp.where(valid, order[jnp.clip(pos, 0, R - 1)], R)
+        return entry, R, jnp.max(lens)
+
+    def hvp_table(p, ctx, entry):
+        """q = H p with the gather-table reduction (no scatter)."""
+        qs = []
+        for a in sorted(ctx.keys()):
+            conn, H_e, _ = ctx[a]
+            p_e = _gather(p, conn).reshape(-1, a * 3)
+            q_e = jnp.einsum("eij,ej->ei", H_e, p_e)
+            qs.append(q_e.reshape(-1, 3))
+        q_flat = jnp.concatenate(qs) if len(qs) > 1 else qs[0]
+        q_pad = jnp.concatenate([q_flat, jnp.zeros((1, 3), q_flat.dtype)])
+        return jnp.sum(q_pad[entry], axis=1)
+
+    def diag_blocks_ctx(ctx):
         """3x3 diagonal blocks of the global Hessian (the BlockDiagonal
-        preconditioner source, BlockedSparseMatrix.h:150-186)."""
-        D = jnp.zeros((n_blocks, 3, 3), dtype=next(iter(hess.values())).dtype) \
-            if hess else jnp.zeros((n_blocks, 3, 3))
-        for name, H_e in hess.items():
-            fd = data[name]
-            a = fam_by_name[name].arity
+        preconditioner source, BlockedSparseMatrix.h:150-186), over the
+        arity-consolidated context."""
+        D = jnp.zeros((n_blocks, 3, 3),
+                      dtype=next(iter(ctx.values()))[1].dtype) \
+            if ctx else jnp.zeros((n_blocks, 3, 3))
+        for a, (conn, H_e, _act) in ctx.items():
             E_n = H_e.shape[0]
             Hb = H_e.reshape(E_n, a, 3, a, 3)
             # (E, arity, 3, 3) diagonal sub-blocks
             d_e = jnp.einsum("eiaib->eiab", Hb)
             D = D + jax.ops.segment_sum(
-                d_e.reshape(-1, 3, 3), fd["conn"].reshape(-1), num_segments=n_blocks)
+                d_e.reshape(-1, 3, 3), conn.reshape(-1), num_segments=n_blocks)
         return D
 
-    return energy, energy_grad, energy_grad_hess, hvp, diag_blocks
+    def diag_blocks(data, hess):
+        return diag_blocks_ctx(hvp_context(data, hess))
+
+    class Evaluators:
+        pass
+
+    ev = Evaluators()
+    ev.energy = energy
+    ev.energy_grad = energy_grad
+    ev.energy_grad_hess = energy_grad_hess
+    ev.hvp = hvp
+    ev.diag_blocks = diag_blocks
+    ev.hvp_context = hvp_context
+    ev.hvp_ctx = hvp_ctx
+    ev.diag_blocks_ctx = diag_blocks_ctx
+    ev.scatter_table = scatter_table
+    ev.hvp_table = hvp_table
+    return ev
 
 
 def precondition_inverse(D, eps: float = 1e-30):

@@ -80,7 +80,8 @@ class NewtonsMethod:
                  get_static_data: Optional[Callable] = None,
                  get_friction_data: Optional[Callable] = None,
                  get_engine: Optional[Callable] = None,
-                 prime_host_dofs: Optional[Callable] = None):
+                 prime_host_dofs: Optional[Callable] = None,
+                 jacobi_sweeps: Optional[int] = None):
         self.families = families
         self.n_blocks = n_blocks
         self.callbacks = callbacks
@@ -99,16 +100,34 @@ class NewtonsMethod:
         self.stats = SolveStats()
         self._fused_jit = None
         self._fused_count_keys = []
+        # capacity (max rows per DOF block) of the CG gather-scatter table;
+        # doubled on overflow like the engine's pair caps
+        self._hvp_K = 128
+        # per-key pair/candidate counts from the last fused solve (max over
+        # its Newton iterations) — feeds the contact-pairs metric
+        self._last_counts: Dict[str, int] = {}
+        # line-search failure diagnostic (print_line_search_upon_failure)
+        self.diagnostic_dir = ""
+        self._ls_failure_count = 0
 
-        (self._energy, self._energy_grad, self._energy_grad_hess,
-         self._hvp, self._diag_blocks) = assembly.make_evaluators(families, n_blocks)
+        ev = assembly.make_evaluators(families, n_blocks)
+        self._ev = ev
+        self._energy = ev.energy
+        self._energy_grad = ev.energy_grad
+        self._energy_grad_hess = ev.energy_grad_hess
+        self._hvp = ev.hvp
+        self._diag_blocks = ev.diag_blocks
 
+        self._jacobi_sweeps = (jacobi_sweeps if jacobi_sweeps is not None
+                               else project.default_jacobi_sweeps())
         self._jit_energy = jax.jit(self._energy)
         self._jit_egh = jax.jit(self._energy_grad_hess)
         self._jit_project_all = jax.jit(
-            project.project_all, static_argnames=("eps", "mirroring"))
+            partial(project.project_all, jacobi_sweeps=self._jacobi_sweeps),
+            static_argnames=("eps", "mirroring"))
         self._jit_project_sel = jax.jit(
-            project.project_selective, static_argnames=("eps", "mirroring"))
+            partial(project.project_selective, jacobi_sweeps=self._jacobi_sweeps),
+            static_argnames=("eps", "mirroring"))
         self._jit_cg = jax.jit(self._cg_stage, static_argnames=("stop_on_indef",))
         self._jit_cg_direct = jax.jit(self._direct_stage)
         self._jit_apply_du = jax.jit(lambda u0, du, s: u0 + s * du)
@@ -193,7 +212,7 @@ class NewtonsMethod:
         dtype = u0.dtype
         if engine is not None:
             eng_state = engine.engine_state()
-            dhat = engine._dhat_mat()
+            dhat = engine._th_vec()
         else:
             eng_state = {}
             dhat = jnp.zeros((0, 0), dtype)
@@ -211,22 +230,36 @@ class NewtonsMethod:
 
         with self.logger.time("fused_solve"):
             while True:
-                u_out, packed = self._fused_jit(u0, data_static, friction, glob,
-                                                eng_state, dhat, params)
+                u_out, packed, counts_dev = self._fused_jit(
+                    u0, data_static, friction, glob, eng_state, dhat, params)
                 # the ONE host sync per step: stats vector + the DOF vector
                 # together (u feeds the host mirrors that the accept path and
                 # constraint checks read, avoiding further pulls)
-                u_np, packed = jax.device_get((u_out, packed))
-                counts = packed[10:]
-                if engine is not None and self._fused_count_keys and \
-                        engine._check_overflow(self._fused_count_keys, counts):
-                    # pair-buffer overflow: bump caps and re-trace (the
+                u_np, packed, counts = jax.device_get((u_out, packed, counts_dev))
+                overflow = False
+                keys = self._fused_count_keys
+                if "hvp_deg" in keys:
+                    deg = int(counts[keys.index("hvp_deg")])
+                    if deg > self._hvp_K:
+                        while self._hvp_K < deg:
+                            self._hvp_K *= 2
+                        overflow = True
+                eng_kc = [(k, c) for k, c in zip(keys, counts) if k != "hvp_deg"]
+                if engine is not None and eng_kc and engine._check_overflow(
+                        [k for k, _ in eng_kc], [c for _, c in eng_kc]):
+                    overflow = True
+                if overflow:
+                    # buffer overflow: bump caps and re-trace (the
                     # static-shape analog of dynamic pair arrays)
+                    self.logger.add("fused_retraces", 1)
                     self._build_fused()
                     continue
                 break
+        self._last_counts = {k: int(c) for k, c in
+                             zip(self._fused_count_keys, counts)}
 
         code = int(packed[0])
+        self.logger.append("solver_code", code)
         self.set_dofs(u_out)
         if self.prime_host_dofs is not None:
             self.prime_host_dofs(u_np)
@@ -262,6 +295,12 @@ class NewtonsMethod:
         if result == SolverReturn.TooManyInvalidIntermediateIterations:
             self.callbacks.run_on_intermediate_state_invalid()
         if result == SolverReturn.TooManyArmijoIterations:
+            if self.settings.print_line_search_upon_failure:
+                # like the reference, re-solve on the diagnostic (staged)
+                # path to reproduce the failure and dump the 1D energy
+                # profile (NewtonsMethod.cpp:604-634 re-solves with the
+                # sampling enabled)
+                return self._solve_staged()
             self.callbacks.run_on_armijo_fail()
         if result == SolverReturn.Successful:
             # host-side converged-state checks (constraint/prescribed/
@@ -294,6 +333,8 @@ class NewtonsMethod:
         result = SolverReturn.Running
         res_0 = math.inf
         E0 = 0.0
+        E_prev = None
+        stall = 0
 
         # Projection state persisting across Newton iterations
         self._pdn_countdown = 0
@@ -317,8 +358,10 @@ class NewtonsMethod:
             glob = self.get_glob()
             u = self.get_dofs()
             with self.logger.time("evaluate"):
-                E0_dev, grad, hess_raw = self._jit_egh(u, data, glob)
+                E0_dev, E_abs_dev, grad, hess_raw = self._jit_egh(u, data, glob)
                 E0 = float(E0_dev)
+                # energy rounding-noise floor (see fused.py)
+                noise = float(np.finfo(np.dtype(u.dtype)).eps) * float(E_abs_dev)
 
             # Residual (default inf-norm, solver_utils.h:28)
             if self.callbacks.residual is not None:
@@ -327,6 +370,13 @@ class NewtonsMethod:
                 residual_norm = float(jnp.max(jnp.abs(grad)))
             if newton_iteration == 0:
                 res_0 = residual_norm
+
+            # energy-stall convergence at the precision noise floor (fused.py)
+            if E_prev is not None and (E_prev - E0) < noise:
+                stall += 1
+            else:
+                stall = 0
+            E_prev = E0
 
             if residual_norm < s.bailout_residual:
                 result = SolverReturn.Successful
@@ -338,11 +388,15 @@ class NewtonsMethod:
                 if newton_iteration > 0 and residual_norm / res_0 < s.residual_tolerance_rel:
                     result = SolverReturn.Successful
                     break
+                if stall >= 2:
+                    result = SolverReturn.Successful
+                    break
 
             # Inner loop: project + solve until a descent direction (or give up)
             init_cg = self.stats.cg_iterations
             du = None
             du_dot_grad = 0.0
+            dec_converged = False
             while True:
                 hess, all_projected, n_projected = self._project(hess_raw, data, grad)
                 du, ok, cg_iters = self._solve_linear_system(grad, data, hess, residual_norm)
@@ -352,6 +406,11 @@ class NewtonsMethod:
                 if ok:
                     du_dot_grad = float(jnp.vdot(du, grad))
                     descends = du_dot_grad < 0.0
+                    # Newton-decrement noise-floor convergence (see fused.py)
+                    if abs(du_dot_grad) < 4.0 * noise:
+                        dec_converged = True
+                        result = SolverReturn.Successful
+                        break
 
                 if ok and descends:
                     break
@@ -361,6 +420,9 @@ class NewtonsMethod:
                               else SolverReturn.StepDoesNotDescend)
                     break
                 self._increase_projection(grad)
+
+            if dec_converged:
+                break
 
             if result != SolverReturn.Running:
                 self.output.print_with_new_line(
@@ -383,7 +445,8 @@ class NewtonsMethod:
                 break
 
             # Line search
-            result = self._line_search(u, du, E0, du_dot_grad, du_max, data, glob)
+            result = self._line_search(u, du, E0, du_dot_grad, du_max, data, glob,
+                                       noise=noise)
 
             # User convergence
             if newton_iteration >= s.min_iterations and self.callbacks.run_is_converged():
@@ -478,7 +541,8 @@ class NewtonsMethod:
     # ------------------------------------------------------------------
     # 4-stage line search (NewtonsMethod.cpp:459-641)
     # ------------------------------------------------------------------
-    def _line_search(self, u0, du, E0, du_dot_grad, du_max, data, glob) -> SolverReturn:
+    def _line_search(self, u0, du, E0, du_dot_grad, du_max, data, glob,
+                     noise: float = 0.0) -> SolverReturn:
         s = self.settings
         retraction = 1.0
 
@@ -527,8 +591,13 @@ class NewtonsMethod:
         if not s.enable_armijo_backtracking:
             return SolverReturn.Running
 
+        # same-program Armijo reference energy (see fused.py: the egh
+        # program's E carries a systematic f32 fusion-rounding bias vs the
+        # energy-only program used for the trials)
+        E0 = float(self._jit_energy(u0, data, glob))
         expected_decrease = s.line_search_armijo_beta * du_dot_grad * retraction
-        E_threshold = E0 + expected_decrease * step
+        # + noise: noise-tolerant Armijo (see fused.py)
+        E_threshold = E0 + expected_decrease * step + noise
         armijo_iterations = 0
         while armijo_iterations < s.max_backtracking_armijo_iterations:
             # contact tables must track the trial state (the reference re-runs
@@ -541,19 +610,63 @@ class NewtonsMethod:
                 break
             step *= shrink
             self.set_dofs(self._jit_apply_du(u0, du, step))
-            E_threshold = E0 + expected_decrease * step
+            E_threshold = E0 + expected_decrease * step + noise
             self.stats.ls_bt_iterations += 1
             armijo_iterations += 1
         self.logger.add_and_append("ls_bt", armijo_iterations)
 
         if armijo_iterations == s.max_backtracking_armijo_iterations:
             self.output.print_with_new_line("Newton failure: Too many armijo iterations.", Verbosity.Medium)
+            if s.print_line_search_upon_failure:
+                self._dump_line_search_profile(u0, du, E0, du_dot_grad)
             self.callbacks.run_on_armijo_fail()
             return SolverReturn.TooManyArmijoIterations
 
         return SolverReturn.Running
 
+    def _dump_line_search_profile(self, u0, du, E0, du_dot_grad,
+                                  n_samples: int = 1000):
+        """Line-search failure diagnostic: sample the 1D energy landscape
+        E(alpha) over alpha in [-0.5, 1.5]*du and dump a plot-ready file
+        (NewtonsMethod.cpp:549-563, 604-634 re-solves with gnuplot output;
+        here the profile is sampled directly at the failure point). Contact
+        tables are refreshed per sample exactly like an Armijo trial."""
+        import os as _os
+        path = _os.path.join(self.diagnostic_dir or ".",
+                             "line_search_failure_%d.txt" % self._ls_failure_count)
+        self._ls_failure_count += 1
+        alphas = np.linspace(-0.5, 1.5, n_samples)
+        lines = ["# alpha  E(u0 + alpha*du)   E0=%r  du_dot_grad=%r"
+                 % (E0, du_dot_grad)]
+        for a in alphas:
+            self.set_dofs(self._jit_apply_du(u0, du, float(a)))
+            self.callbacks.run_before_energy_evaluation()
+            E = float(self._jit_energy(self.get_dofs(), self.get_data(),
+                                       self.get_glob()))
+            lines.append("%.8f %.17g" % (a, E))
+        self.set_dofs(u0)
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        self.output.print_with_new_line(
+            f"Line search failure energy profile written to {path}",
+            Verbosity.Minimal)
+
     # ------------------------------------------------------------------
+    def live_contact_pairs(self) -> int:
+        """Exact contact pairs live in the last solve (max over its Newton
+        iterations). Fused path: from the device counts vector. Staged path:
+        from the engine's host-mirrored tables."""
+        if self._last_counts:
+            return sum(c for k, c in self._last_counts.items()
+                       if k.startswith(("pt_", "ee_")))
+        engine = self.get_engine() if self.get_engine is not None else None
+        if engine is None:
+            return 0
+        total = 0
+        for fd in engine._contact_data.values():
+            total += int(np.sum(np.asarray(fd["rows"]["active"]) > 0.5))
+        return total
+
     def get_last_solve_stats(self) -> SolveStats:
         return self.stats
 

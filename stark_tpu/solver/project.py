@@ -4,24 +4,77 @@ Reference: /root/reference/stark/extern/symx/src/solver/second_order/project_to_
 (per-element symmetric eigendecomposition; eigenvalues below eps are clamped
 to eps or mirrored to -lambda) driven by four modes in NewtonsMethod::
 _project_and_assemble (NewtonsMethod.cpp:254-352). Here the eigendecomposition
-is a batched `jnp.linalg.eigh` over each family's (E, d, d) stack — one fused
-XLA kernel per family instead of millions of scalar Eigen solves.
+is batched over each family's (E, d, d) stack — one fused XLA kernel per
+family instead of millions of scalar Eigen solves.
+
+Backend: XLA's `jnp.linalg.eigh` on TPU spends most of its time in generic
+QR-iteration machinery for these tiny (6..15 dim) matrices; a fixed-sweep
+batched cyclic Jacobi is ~2x faster and converges to ~1e-7 relative
+eigenvalue error in 8 sweeps — far below the f32 element-Hessian noise the
+projection consumes. `jacobi_sweeps=0` selects exact `jnp.linalg.eigh`
+(used on CPU / for parity tests); the TPU default is 8 sweeps.
 """
 from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 
-def project_family_to_pd(H, eps: float, mirroring: bool, elem_mask=None):
+def default_jacobi_sweeps() -> int:
+    """0 (exact eigh) on CPU, 8 Jacobi sweeps on accelerators."""
+    return 0 if jax.default_backend() == "cpu" else 8
+
+
+def _jacobi_eigh(A, sweeps: int):
+    """Batched cyclic Jacobi for symmetric (..., d, d) stacks. Returns
+    (w, V) with A ~= V @ diag(w) @ V^T. Rotation indices are static so the
+    whole sweep unrolls into fused row/column updates."""
+    d = A.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), A.shape)
+
+    def sweep(carry, _):
+        A, V = carry
+        for p in range(d):
+            for q in range(p + 1, d):
+                app = A[..., p, p]
+                aqq = A[..., q, q]
+                apq = A[..., p, q]
+                theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+                c = jnp.cos(theta)[..., None]
+                s = jnp.sin(theta)[..., None]
+                Ap = c * A[..., p, :] - s * A[..., q, :]
+                Aq = s * A[..., p, :] + c * A[..., q, :]
+                A = A.at[..., p, :].set(Ap).at[..., q, :].set(Aq)
+                Ap = c * A[..., :, p] - s * A[..., :, q]
+                Aq = s * A[..., :, p] + c * A[..., :, q]
+                A = A.at[..., :, p].set(Ap).at[..., :, q].set(Aq)
+                Vp = c * V[..., :, p] - s * V[..., :, q]
+                Vq = s * V[..., :, p] + c * V[..., :, q]
+                V = V.at[..., :, p].set(Vp).at[..., :, q].set(Vq)
+        return (A, V), None
+
+    (A, V), _ = jax.lax.scan(sweep, (A, V), None, length=sweeps)
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    return w, V
+
+
+def batched_eigh(H, jacobi_sweeps: int):
+    if jacobi_sweeps and H.shape[-1] > 3:
+        return _jacobi_eigh(H, jacobi_sweeps)
+    return jnp.linalg.eigh(H)
+
+
+def project_family_to_pd(H, eps: float, mirroring: bool, elem_mask=None,
+                         jacobi_sweeps: int = 0):
     """Project a (E, d, d) stack of symmetric matrices to PD.
 
     Returns (H_projected, changed) where changed marks elements whose
     eigenvalues were modified (for the reference's `ph%` statistic,
     NewtonsMethod.cpp:199-206). elem_mask restricts projection to selected
     elements (PPN selective mode)."""
-    w, V = jnp.linalg.eigh(H)
+    w, V = batched_eigh(H, jacobi_sweeps)
     below = w < eps
     w_new = jnp.where(below, jnp.where(mirroring, -w, eps), w)
     Hp = jnp.einsum("eij,ej,ekj->eik", V, w_new, V)
@@ -36,14 +89,15 @@ def project_family_to_pd(H, eps: float, mirroring: bool, elem_mask=None):
 
 
 def project_all(hess: Dict[str, jnp.ndarray], eps: float, mirroring: bool,
-                data=None):
+                data=None, jacobi_sweeps: int = 0):
     """ProjectedNewton mode: project every element Hessian
     (ElementHessians project_to_PD_inplace__all). `data` restricts the
     changed-count to active rows (padded zero Hessians always "change")."""
     out = {}
     n_changed = jnp.zeros((), dtype=jnp.int32)
     for name, H in hess.items():
-        Hp, changed = project_family_to_pd(H, eps, mirroring)
+        Hp, changed = project_family_to_pd(H, eps, mirroring,
+                                           jacobi_sweeps=jacobi_sweeps)
         out[name] = Hp
         if data is not None:
             changed = jnp.logical_and(changed, data[name]["rows"]["active"] > 0.5)
@@ -52,7 +106,7 @@ def project_all(hess: Dict[str, jnp.ndarray], eps: float, mirroring: bool,
 
 
 def project_selective(hess: Dict[str, jnp.ndarray], data, eps: float,
-                      mirroring: bool, block_mask):
+                      mirroring: bool, block_mask, jacobi_sweeps: int = 0):
     """Progressive (PPN) mode: project only elements touching DOF blocks whose
     gradient magnitude exceeds the threshold (NewtonsMethod.cpp:310-334).
     block_mask: (n_blocks,) bool."""
@@ -62,7 +116,8 @@ def project_selective(hess: Dict[str, jnp.ndarray], data, eps: float,
         conn = data[name]["conn"]
         elem_mask = jnp.logical_and(jnp.any(block_mask[conn], axis=1),
                                     data[name]["rows"]["active"] > 0.5)
-        Hp, changed = project_family_to_pd(H, eps, mirroring, elem_mask)
+        Hp, changed = project_family_to_pd(H, eps, mirroring, elem_mask,
+                                           jacobi_sweeps=jacobi_sweeps)
         out[name] = Hp
         n_changed = n_changed + jnp.sum(changed.astype(jnp.int32))
     return out, n_changed

@@ -60,7 +60,7 @@ def test_fd_contact_energies():
     u = np.asarray(nm.get_dofs())
     u = u + 0.02 * rng.standard_normal(u.shape)
     glob = nm.get_glob()
-    E, g, H = nm._jit_egh(jnp.asarray(u), data, glob)
+    E, _Eabs, g, H = nm._jit_egh(jnp.asarray(u), data, glob)
     assert np.isfinite(float(E))
     g = np.asarray(g)
     assert np.all(np.isfinite(g))

@@ -37,7 +37,7 @@ def fd_check(sim, seed=0, h=1e-6, tol=2e-5):
     import jax.numpy as jnp
 
     u_j = jnp.asarray(u)
-    E, g, H = nm._jit_egh(u_j, data, glob)
+    E, _Eabs, g, H = nm._jit_egh(u_j, data, glob)
     g = np.asarray(g)
     assert np.isfinite(float(E))
     assert np.all(np.isfinite(g))

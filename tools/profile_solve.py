@@ -37,7 +37,7 @@ isect = jax.jit(eng._intersect_fn)
 t("intersection test", isect, gg)
 
 data = dict(sdata); data.update({k: v for k, v in cdata.items()}); data.update(fdata)
-E, grad, hess = t("energy+grad+hess", nm._jit_egh, u, data, glob)
+E, _Eabs, grad, hess = t("energy+grad+hess", nm._jit_egh, u, data, glob)
 t("energy only", nm._jit_energy, u, data, glob)
 hp = t("project_all", nm._jit_project_all, hess, nm.settings.projection_eps, True, data)
 hess_p = hp[0]
