@@ -29,8 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ... import maths
+from ...collision import broad_phase as bp
 from ...collision import narrow_phase as nph
 from ...ops.compaction import compact_indices
+
+# dense-pair threshold: blocks with more candidate pairs than this use the
+# spatial-hash broad phase (O(N*k)) instead of the dense masked grid (O(N^2))
+GRID_PAIR_THRESHOLD = 1 << 21
 
 
 def _dedup_mask(mesh_a, idx_a, mesh_b, idx_b):
@@ -121,12 +126,24 @@ class ContactEngine:
                 inc |= pidx[:, None] == tri[None, :, k]
             return same & inc
 
-        self.pt_dd_excl = pt_incident(self.sv_mesh, self.ts, self.ts_mesh, True)
-        self.pt_rr_excl = pt_incident(self.rv_mesh, self.tr, self.tr_mesh, True)
-        # additionally drop same-mesh rigid-rigid pairs entirely: co-moving
-        # points have rigid-invariant distances (exactly zero gradient)
-        if len(self.rv_mesh) and len(self.tr_mesh):
-            self.pt_rr_excl |= self.rv_mesh[:, None] == self.tr_mesh[None, :]
+        # dense (N,N) exclusion masks are only materialized for blocks on the
+        # dense stage-1 path; grid-path blocks evaluate exclusions per
+        # candidate functionally (O(N^2) masks would defeat the grid's point)
+        def if_dense(nq, nt, build):
+            return None if self._use_grid(nq, nt) else build()
+
+        self.pt_dd_excl = if_dense(len(self.sv_mesh), len(self.ts),
+            lambda: pt_incident(self.sv_mesh, self.ts, self.ts_mesh, True))
+
+        def build_pt_rr():
+            excl = pt_incident(self.rv_mesh, self.tr, self.tr_mesh, True)
+            # additionally drop same-mesh rigid-rigid pairs entirely:
+            # co-moving points have rigid-invariant distances (zero gradient)
+            if len(self.rv_mesh) and len(self.tr_mesh):
+                excl |= self.rv_mesh[:, None] == self.tr_mesh[None, :]
+            return excl
+
+        self.pt_rr_excl = if_dense(len(self.rv_mesh), len(self.tr), build_pt_rr)
 
         def ee_excl(edges_a, mesh_a, edges_b, mesh_b, dedup):
             na, nb = len(mesh_a), len(mesh_b)
@@ -145,10 +162,16 @@ class ContactEngine:
                 excl |= ~approve
             return excl
 
-        self.ee_dd_excl = ee_excl(self.es, self.es_mesh, self.es, self.es_mesh, True)
-        self.ee_rr_excl = ee_excl(self.er, self.er_mesh, self.er, self.er_mesh, True)
-        if len(self.er_mesh) and len(self.er_mesh):
-            self.ee_rr_excl |= self.er_mesh[:, None] == self.er_mesh[None, :]
+        self.ee_dd_excl = if_dense(len(self.es), len(self.es),
+            lambda: ee_excl(self.es, self.es_mesh, self.es, self.es_mesh, True))
+
+        def build_ee_rr():
+            excl = ee_excl(self.er, self.er_mesh, self.er, self.er_mesh, True)
+            if len(self.er_mesh):
+                excl |= self.er_mesh[:, None] == self.er_mesh[None, :]
+            return excl
+
+        self.ee_rr_excl = if_dense(len(self.er), len(self.er), build_ee_rr)
 
         # edge-triangle incidence for the intersection test: exclude pairs
         # sharing a vertex (same kind + mesh)
@@ -162,8 +185,10 @@ class ContactEngine:
                     share |= edges[:, None, i] == tris[None, :, k]
             return same & share
 
-        self.et_ss_excl = et_excl(self.es, self.es_mesh, self.ts, self.ts_mesh)
-        self.et_rr_excl = et_excl(self.er, self.er_mesh, self.tr, self.tr_mesh)
+        self.et_ss_excl = if_dense(len(self.es), len(self.ts),
+            lambda: et_excl(self.es, self.es_mesh, self.ts, self.ts_mesh))
+        self.et_rr_excl = if_dense(len(self.er), len(self.tr),
+            lambda: et_excl(self.er, self.er_mesh, self.tr, self.tr_mesh))
 
         # layout helpers
         self.n_soft = self.layout.n_soft
@@ -263,7 +288,11 @@ class ContactEngine:
         broad-phase candidates, "cf_" friction candidates, "i_" intersection
         candidates."""
         if name not in self._caps:
-            if name.startswith("c_") or name.startswith("cf_"):
+            if name.startswith("g_"):
+                # spatial-hash structural caps: per-target insertion slots /
+                # per-query bucket-scan length
+                h = 32 if name.endswith("_ins") else 64
+            elif name.startswith("c_") or name.startswith("cf_"):
                 # candidate buffers (sphere-bound prefilter hits): an order of
                 # magnitude looser than the exact-distance pair buffers.
                 # NOTE: check the cf_ prefix FIRST ('cf_x'.startswith('c_') is
@@ -296,6 +325,121 @@ class ContactEngine:
                 cap *= 2
             self._caps[name] = cap
         return self._caps[name]
+
+    # ------------------------------------------------------------------
+    # spatial-hash stage 1 (large blocks; see collision/broad_phase.py)
+    # ------------------------------------------------------------------
+    def _use_grid(self, nq: int, nt: int) -> bool:
+        mode = getattr(self.model, "broad_phase", "auto")
+        if mode == "dense":
+            return False
+        if mode == "grid":
+            return True
+        return nq * nt > GRID_PAIR_THRESHOLD
+
+    def _block_sizes(self, stem):
+        if stem.startswith("pt"):
+            nq = len(self.sv_gid) if stem[3] == "d" else len(self.rv_body)
+            nt = len(self.ts) if stem[4] == "d" else len(self.tr)
+        else:
+            nq = len(self.es) if stem[3] == "d" else len(self.er)
+            nt = len(self.es) if stem[4] == "d" else len(self.er)
+        return nq, nt
+
+    def _stage1_keys(self, stem):
+        """Count keys emitted by stage 1 of this block (candidate count +
+        the grid's insertion/occupancy maxima when the grid path is used)."""
+        keys = ["c_" + stem]
+        if self._use_grid(*self._block_sizes(stem)):
+            keys += ["g_" + stem + "_ins", "g_" + stem + "_occ"]
+        return keys
+
+    def _allowed_pairmat(self, extra_mat):
+        """(M,M) allowed matrix over mesh handler ids as a flat device
+        array (tiny: per-candidate lookups are 1-D gathers)."""
+        base = jnp.asarray(self.enabled_mat)
+        if extra_mat is not None:
+            base = base & (extra_mat != 0.0)
+        return base.reshape(-1)
+
+    def _grid_stage1(self, key, qc, qr, tc, tr, allowed_fn, ccap):
+        """Spatial-hash candidate generation + sphere prefilter + compaction.
+        Returns (cq, ct, ccount, grid_counts) with the same contract as the
+        dense stage 1 (cq/ct (ccap,), total true count for overflow)."""
+        ins = self._cap(key + "_ins")
+        occ = self._cap(key + "_occ")
+        nt = tc.shape[0]
+        tsz = 1 << max(8, (4 * nt - 1).bit_length())
+        h = bp.pick_cell_size(qr, tr)
+        tid, valid, max_cells, max_occ = bp.grid_candidates(
+            qc, qr, tc, tr, h, ins, occ, tsz)
+        Q, K = tid.shape
+        tcl = jnp.clip(tid, 0, nt - 1)
+        d2 = jnp.sum((qc[:, None, :] - tc[tcl]) ** 2, -1)
+        sph = d2 <= (qr[:, None] + tr[tcl]) ** 2
+        qidx = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, K))
+        mask = valid & sph & allowed_fn(qidx, tcl)
+        cslot, ccount = compact_indices(mask.ravel(), ccap)
+        cq = (cslot // K).astype(jnp.int32)
+        ct = jnp.clip(tid.reshape(-1)[cslot], 0, nt - 1).astype(jnp.int32)
+        # insertion-slot overflow loses candidates silently; occupancy
+        # overflow truncates bucket scans — both must bump + re-trace
+        counts = {key + "_ins": max_cells, key + "_occ": max_occ}
+        return cq, ct, ccount, counts
+
+    def _pt_allowed_fn(self, stem, tri_np, pm_np, tm_np, extra_mat):
+        """Per-candidate functional exclusions for the grid path (the dense
+        path precomputes these as (N,N) masks, which would be O(N^2) memory
+        at grid scales). Mirrors tmcd: PT discards same-mesh incident pairs
+        (BroadPhasePTEEBase.cpp:540-544); same-mesh rigid-rigid pairs are
+        dropped entirely (rigid-invariant distance)."""
+        M = len(self.model.contact_thicknesses)
+        allowed_flat = self._allowed_pairmat(extra_mat)
+        pm = jnp.asarray(pm_np)
+        tm = jnp.asarray(tm_np)
+        tri = jnp.asarray(tri_np, jnp.int32)
+
+        def f(cp, ct):
+            pm_c = pm[cp]
+            tm_c = tm[ct]
+            ok = allowed_flat[pm_c * M + tm_c]
+            if stem == "pt_dd":
+                inc = (cp == tri[ct, 0]) | (cp == tri[ct, 1]) | (cp == tri[ct, 2])
+                ok = ok & jnp.logical_not((pm_c == tm_c) & inc)
+            elif stem == "pt_rr":
+                ok = ok & (pm_c != tm_c)
+            return ok
+
+        return f
+
+    def _ee_allowed_fn(self, stem, ea_np, eb_np, am_np, bm_np, extra_mat):
+        """EE grid exclusions: tmcd dedup (approve set_b > set_a, or same set
+        and idx_b > idx_a, BroadPhasePTEEBase.cpp:711-721) + same-mesh
+        vertex-sharing discard; same-mesh rigid-rigid dropped entirely."""
+        M = len(self.model.contact_thicknesses)
+        allowed_flat = self._allowed_pairmat(extra_mat)
+        am = jnp.asarray(am_np)
+        bm = jnp.asarray(bm_np)
+        ea = jnp.asarray(ea_np, jnp.int32)
+        eb = jnp.asarray(eb_np, jnp.int32)
+
+        def f(ca, cb):
+            am_c = am[ca]
+            bm_c = bm[cb]
+            ok = allowed_flat[am_c * M + bm_c]
+            if stem == "ee_dd":
+                approve = (bm_c > am_c) | ((bm_c == am_c) & (cb > ca))
+                share = jnp.zeros_like(approve)
+                for i in range(2):
+                    for j in range(2):
+                        share = share | (ea[ca, i] == eb[cb, j])
+                ok = ok & approve & jnp.logical_not(share)
+            elif stem == "ee_rr":
+                # same-mesh excluded + cross-mesh dedup => strict order
+                ok = ok & (bm_c > am_c)
+            return ok
+
+        return f
 
     # ------------------------------------------------------------------
     # pair generation (traced; shapes static given caps)
@@ -334,26 +478,36 @@ class ContactEngine:
         t2 = T[tri[:, 2]]
         th_p = th[jnp.asarray(pm)]   # (Np,) per-primitive thickness
         th_t = th[jnp.asarray(tm)]   # (Nt,)
-        allowed = jnp.asarray(self.enabled_mat[np.ix_(pm, tm)] & ~excl)
-        if extra_mat is not None:
-            allowed = allowed & (self._lift_mesh_pair(extra_mat, pm, tm) != 0.0)
 
-        # stage 1: bounding-sphere prefilter on the dense grid (dhat enters
-        # as the separable broadcast th_p + th_t, see _th_vec)
         c = (t0 + t1 + t2) / 3.0
         r = jnp.sqrt(jnp.maximum(jnp.maximum(
             jnp.sum((t0 - c) ** 2, -1), jnp.sum((t1 - c) ** 2, -1)),
             jnp.sum((t2 - c) ** 2, -1)))
-        dc2 = jnp.sum((P[:, None, :] - c[None, :, :]) ** 2, -1)
-        pre = allowed & (dc2 <= (r[None, :] + th_p[:, None] + th_t[None, :]) ** 2)
 
         pfx = "f_" if extra_mat is not None else ""
         ccap = self._cap(("cf_" if extra_mat is not None else "c_") + stem)
         cap = self._cap(pfx + stem)
         nt = len(tm)
-        cidx, ccount = compact_indices(pre.ravel(), ccap)
-        cp = cidx // nt
-        ct = cidx % nt
+        counts = {}
+
+        if self._use_grid(len(pm), nt):
+            # stage 1 via the spatial hash (O(N*k)); exclusions evaluate
+            # per candidate (functional form — no O(N^2) masks)
+            allowed_fn = self._pt_allowed_fn(stem, tri, pm, tm, extra_mat)
+            cp, ct, ccount, gc = self._grid_stage1(
+                "g_" + stem, P, th_p, c, r + th_t, allowed_fn, ccap)
+            counts.update(gc)
+        else:
+            # stage 1: bounding-sphere prefilter on the dense grid (dhat
+            # enters as the separable broadcast th_p + th_t, see _th_vec)
+            allowed = jnp.asarray(self.enabled_mat[np.ix_(pm, tm)] & ~excl)
+            if extra_mat is not None:
+                allowed = allowed & (self._lift_mesh_pair(extra_mat, pm, tm) != 0.0)
+            dc2 = jnp.sum((P[:, None, :] - c[None, :, :]) ** 2, -1)
+            pre = allowed & (dc2 <= (r[None, :] + th_p[:, None] + th_t[None, :]) ** 2)
+            cidx, ccount = compact_indices(pre.ravel(), ccap)
+            cp = cidx // nt
+            ct = cidx % nt
 
         # stage 2: exact IPC distance on candidates only
         d_c = jax.vmap(nph.point_triangle_distance)(P[cp], t0[ct], t1[ct], t2[ct])
@@ -361,7 +515,8 @@ class ContactEngine:
         valid = (jnp.arange(ccap) < jnp.minimum(ccount, ccap)) & (d_c <= dhat_c)
         sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
-        counts = {pfx + stem: count, ("cf_" if extra_mat is not None else "c_") + stem: ccount}
+        counts[pfx + stem] = count
+        counts[("cf_" if extra_mat is not None else "c_") + stem] = ccount
         return cp[sel], ct[sel], active, d_c[sel], counts, dhat_c[sel]
 
     def _ee_pairs(self, stem, Vs, Vr, th, extra_mat=None):
@@ -386,26 +541,34 @@ class ContactEngine:
         b0, b1 = EB[eb[:, 0]], EB[eb[:, 1]]
         th_a = th[jnp.asarray(eam)]
         th_b = th[jnp.asarray(ebm)]
-        allowed = jnp.asarray(self.enabled_mat[np.ix_(eam, ebm)] & ~excl)
-        if extra_mat is not None:
-            allowed = allowed & (self._lift_mesh_pair(extra_mat, eam, ebm) != 0.0)
 
-        # stage 1: midpoint/half-length sphere bound, conservative since
-        # d(ea,eb) >= |ma-mb| - la/2 - lb/2 (dhat as separable broadcast,
-        # see _th_vec)
         ma, ha = 0.5 * (a0 + a1), 0.5 * jnp.linalg.norm(a1 - a0, axis=-1)
         mb, hb = 0.5 * (b0 + b1), 0.5 * jnp.linalg.norm(b1 - b0, axis=-1)
-        dm2 = jnp.sum((ma[:, None, :] - mb[None, :, :]) ** 2, -1)
-        pre = allowed & (dm2 <= (ha[:, None] + hb[None, :]
-                                 + th_a[:, None] + th_b[None, :]) ** 2)
 
         pfx = "f_" if extra_mat is not None else ""
         ccap = self._cap(("cf_" if extra_mat is not None else "c_") + stem)
         cap = self._cap(pfx + stem)
         nb = len(ebm)
-        cidx, ccount = compact_indices(pre.ravel(), ccap)
-        ca = cidx // nb
-        cb = cidx % nb
+        counts = {}
+
+        if self._use_grid(len(eam), nb):
+            allowed_fn = self._ee_allowed_fn(stem, ea, eb, eam, ebm, extra_mat)
+            ca, cb, ccount, gc = self._grid_stage1(
+                "g_" + stem, ma, ha + th_a, mb, hb + th_b, allowed_fn, ccap)
+            counts.update(gc)
+        else:
+            # stage 1: midpoint/half-length sphere bound, conservative since
+            # d(ea,eb) >= |ma-mb| - la/2 - lb/2 (dhat as separable broadcast,
+            # see _th_vec)
+            allowed = jnp.asarray(self.enabled_mat[np.ix_(eam, ebm)] & ~excl)
+            if extra_mat is not None:
+                allowed = allowed & (self._lift_mesh_pair(extra_mat, eam, ebm) != 0.0)
+            dm2 = jnp.sum((ma[:, None, :] - mb[None, :, :]) ** 2, -1)
+            pre = allowed & (dm2 <= (ha[:, None] + hb[None, :]
+                                     + th_a[:, None] + th_b[None, :]) ** 2)
+            cidx, ccount = compact_indices(pre.ravel(), ccap)
+            ca = cidx // nb
+            cb = cidx % nb
 
         ptol = self.model.edge_edge_cross_norm_sq_cutoff
         d_c = jax.vmap(lambda x0, x1, y0, y1: nph.edge_edge_distance(
@@ -414,7 +577,8 @@ class ContactEngine:
         valid = (jnp.arange(ccap) < jnp.minimum(ccount, ccap)) & (d_c <= dhat_c)
         sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
-        counts = {pfx + stem: count, ("cf_" if extra_mat is not None else "c_") + stem: ccount}
+        counts[pfx + stem] = count
+        counts[("cf_" if extra_mat is not None else "c_") + stem] = ccount
         return ca[sel], cb[sel], active, d_c[sel], counts, dhat_c[sel]
 
     # ------------------------------------------------------------------
@@ -658,16 +822,34 @@ class ContactEngine:
     # intersection oracle
     # ------------------------------------------------------------------
     def _i_blocks(self):
-        """Active intersection candidate blocks (cap keys)."""
-        keys = []
+        """Active intersection candidate blocks with their (query, target)
+        sizes — (cap key, n_edges, n_tris)."""
+        blocks = []
         if len(self.es) and len(self.ts):
-            keys.append("i_ss")
+            blocks.append(("i_ss", len(self.es), len(self.ts)))
         if len(self.es) and len(self.tr):
-            keys.append("i_sr")
+            blocks.append(("i_sr", len(self.es), len(self.tr)))
         if len(self.er) and len(self.ts):
-            keys.append("i_rs")
+            blocks.append(("i_rs", len(self.er), len(self.ts)))
         if len(self.er) and len(self.tr):
-            keys.append("i_rr")
+            blocks.append(("i_rr", len(self.er), len(self.tr)))
+        return blocks
+
+    def intersect_count_keys(self):
+        """Exactly the count keys _intersect_fn emits."""
+        keys = []
+        for k, nq, nt in self._i_blocks():
+            keys.append(k)
+            if self._use_grid(nq, nt):
+                keys += ["g_" + k + "_ins", "g_" + k + "_occ"]
+        return keys
+
+    def contact_count_keys(self):
+        """Exactly the count keys _contacts_fn emits."""
+        keys = []
+        for stem in self._blocks():
+            keys.append(stem)
+            keys += self._stage1_keys(stem)
         return keys
 
     def _intersect_fn(self, glob):
@@ -680,7 +862,7 @@ class ContactEngine:
         hit = jnp.zeros((), bool)
         counts = {}
 
-        def run(E, edges, T, tris, excl, ikey):
+        def run(E, edges, T, tris, excl_fn, excl_dense, ikey, cnts):
             p0, p1 = E[edges[:, 0]], E[edges[:, 1]]
             t0, t1, t2 = T[tris[:, 0]], T[tris[:, 1]], T[tris[:, 2]]
             # stage 1: midpoint/bounding-sphere prefilter (a segment can only
@@ -691,12 +873,17 @@ class ContactEngine:
                 jnp.sum((t2 - c) ** 2, -1)))
             m = 0.5 * (p0 + p1)
             h = 0.5 * jnp.linalg.norm(p1 - p0, axis=-1)
-            dm2 = jnp.sum((m[:, None, :] - c[None, :, :]) ** 2, -1)
-            pre = jnp.asarray(~excl) & (dm2 <= (h[:, None] + r[None, :]) ** 2)
             icap = self._cap(ikey)
             nt = tris.shape[0]
-            cidx, ccount = compact_indices(pre.ravel(), icap)
-            ce, ct = cidx // nt, cidx % nt
+            if self._use_grid(edges.shape[0], nt):
+                ce, ct, ccount, gc = self._grid_stage1(
+                    "g_" + ikey, m, h, c, r, excl_fn, icap)
+                cnts.update(gc)
+            else:
+                dm2 = jnp.sum((m[:, None, :] - c[None, :, :]) ** 2, -1)
+                pre = jnp.asarray(~excl_dense) & (dm2 <= (h[:, None] + r[None, :]) ** 2)
+                cidx, ccount = compact_indices(pre.ravel(), icap)
+                ce, ct = cidx // nt, cidx % nt
             # stage 2: exact segment-triangle test on candidates only;
             # candidate overflow reports "intersecting" (conservative: forces
             # step halving) and the surfaced count triggers a cap bump
@@ -705,26 +892,58 @@ class ContactEngine:
             valid = jnp.arange(icap) < jnp.minimum(ccount, icap)
             return jnp.any(isect & valid) | (ccount > icap), ccount
 
+        def et_excl_fn(edges, tris, same_mesh_np=None, share=True):
+            """Functional edge-triangle exclusion for the grid path: shared
+            vertex (global ids coincide only within a mesh) and optional
+            same-mesh drop (rigid-rigid)."""
+            e = jnp.asarray(edges, jnp.int32)
+            t = jnp.asarray(tris, jnp.int32)
+            if same_mesh_np is not None:
+                em = jnp.asarray(same_mesh_np[0])
+                tm = jnp.asarray(same_mesh_np[1])
+            else:
+                em = tm = None
+
+            def f(ce, ct):
+                ok = jnp.ones(ce.shape, bool)
+                if share:
+                    sh = jnp.zeros(ce.shape, bool)
+                    for i in range(2):
+                        for k in range(3):
+                            sh = sh | (e[ce, i] == t[ct, k])
+                    ok = ok & jnp.logical_not(sh)
+                if em is not None:
+                    ok = ok & (em[ce] != tm[ct])
+                return ok
+
+            return f
+
         # soft edges vs soft tris / rigid tris; rigid edges vs soft tris / rigid tris
         if len(self.es) and len(self.ts):
             h, counts["i_ss"] = run(Vs, jnp.asarray(self.es), Vs, jnp.asarray(self.ts),
-                                    self.et_ss_excl, "i_ss")
+                                    et_excl_fn(self.es, self.ts),
+                                    self.et_ss_excl, "i_ss", counts)
             hit |= h
         if len(self.es) and len(self.tr):
             h, counts["i_sr"] = run(Vs, jnp.asarray(self.es), Vr, jnp.asarray(self.tr),
+                                    et_excl_fn(self.es, self.tr, share=False),
                                     np.zeros((len(self.es), len(self.tr)), dtype=bool),
-                                    "i_sr")
+                                    "i_sr", counts)
             hit |= h
         if len(self.er) and len(self.ts):
             h, counts["i_rs"] = run(Vr, jnp.asarray(self.er), Vs, jnp.asarray(self.ts),
+                                    et_excl_fn(self.er, self.ts, share=False),
                                     np.zeros((len(self.er), len(self.ts)), dtype=bool),
-                                    "i_rs")
+                                    "i_rs", counts)
             hit |= h
         if len(self.er) and len(self.tr):
             # same-mesh rigid self-intersection cannot change; exclude same mesh
-            excl = self.et_rr_excl | (self.er_mesh[:, None] == self.tr_mesh[None, :])
+            excl = (self.et_rr_excl | (self.er_mesh[:, None] == self.tr_mesh[None, :])
+                    if self.et_rr_excl is not None else None)
             h, counts["i_rr"] = run(Vr, jnp.asarray(self.er), Vr, jnp.asarray(self.tr),
-                                    excl, "i_rr")
+                                    et_excl_fn(self.er, self.tr,
+                                               same_mesh_np=(self.er_mesh, self.tr_mesh)),
+                                    excl, "i_rr", counts)
             hit |= h
         return hit, counts
 

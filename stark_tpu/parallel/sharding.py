@@ -28,22 +28,28 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("data",))
 
 
+def _pad_leading(x, pad):
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(np.asarray(x), widths)
+
+
 def shard_family_data(mesh: Mesh, data: dict) -> dict:
-    """Shard each family's element tables along the element axis. Capacities
-    are padded to multiples of 8 (>= typical mesh sizes); tables whose
-    leading dim does not divide the mesh are left replicated."""
+    """Shard each family's element tables along the element axis. Tables
+    whose leading dim does not divide the mesh are PADDED to divisible with
+    inactive rows (active=0 masks them out of every reduction) — never
+    silently replicated."""
     n = mesh.devices.size
+    spec = NamedSharding(mesh, P("data"))
     sharded = {}
     for name, fd in data.items():
         cap = fd["conn"].shape[0]
-        if cap % n == 0:
-            spec = NamedSharding(mesh, P("data"))
-            conn = jax.device_put(fd["conn"], spec)
-            rows = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
-                    for k, v in fd["rows"].items()}
-            sharded[name] = {"conn": conn, "rows": rows}
-        else:
-            sharded[name] = fd
+        pad = (-cap) % n
+        conn = jax.device_put(_pad_leading(fd["conn"], pad), spec)
+        rows = {k: jax.device_put(_pad_leading(v, pad), spec)
+                for k, v in fd["rows"].items()}
+        sharded[name] = {"conn": conn, "rows": rows}
     return sharded
 
 

@@ -65,6 +65,7 @@ class Simulation:
         self._layout: Optional[DofLayout] = None
         self._device_data: Dict[str, Dict] = {}
         self._capacities: Dict[str, int] = {}
+        self._mesh = None
 
         self.stark.add_init_hook(self._freeze)
         self.stark.connect(
@@ -154,15 +155,35 @@ class Simulation:
         self._layout = DofLayout(self._dyn.n_points, self._rb_dyn.n_bodies)
         self.stark.layout = self._layout
 
-        pad = self.stark.settings.device.element_pad_multiple
+        dev = self.stark.settings.device
+        pad = dev.element_pad_multiple
+        if dev.n_devices > 1:
+            # SPMD data parallelism over elements (SURVEY §2.8): element
+            # tables shard along the element axis; padding to a multiple of
+            # the mesh size keeps every table exactly divisible. The jitted
+            # solve then compiles SPMD — gradient scatters and CG dots reduce
+            # across shards via XLA GSPMD collectives over ICI.
+            from .parallel.sharding import make_mesh
+            self._mesh = make_mesh(dev.n_devices)
+            pad = int(np.lcm(pad, dev.n_devices))
+        else:
+            self._mesh = None
         gp = self.stark.global_potential
         static = gp.freeze_static_data(pad)
         for name, fd in static.items():
             self._capacities[name] = fd.conn.shape[0]
-            self._device_data[name] = _to_device(fd, dtype)
+            self._device_data[name] = self._place(_to_device(fd, dtype))
         self.stark.dirty_families.clear()
         # let dynamic models (contact) finalize their device tables
         self.interactions.freeze(self._layout, dtype)
+
+    def _place(self, fd_dict):
+        """Device placement of one family table: sharded over the mesh's
+        data axis when multi-device, default placement otherwise."""
+        if self._mesh is None:
+            return fd_dict
+        from .parallel.sharding import shard_family_data
+        return shard_family_data(self._mesh, {"_": fd_dict})["_"]
 
     def _refresh_dirty(self):
         if not self.stark.dirty_families:
@@ -182,7 +203,7 @@ class Simulation:
                 continue
             fd = pad_family_data(fd, fam_by_name[name].arity, pad,
                                  capacity=self._capacities[name])
-            self._device_data[name] = _to_device(fd, dtype)
+            self._device_data[name] = self._place(_to_device(fd, dtype))
         self.stark.dirty_families.clear()
 
     def _get_data(self):

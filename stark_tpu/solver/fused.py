@@ -65,8 +65,8 @@ def build_fused_solve(nm, engine):
     # host-side cap bump + re-trace): exact pair buffers, broad-phase
     # candidate buffers, and intersection candidate buffers
     if engine is not None:
-        ct_keys = sorted(engine._blocks()) + sorted("c_" + b for b in engine._blocks())
-        i_keys = list(engine._i_blocks()) \
+        ct_keys = sorted(engine.contact_count_keys())
+        i_keys = sorted(engine.intersect_count_keys()) \
             if engine.model.global_params.intersection_test_enabled else []
     else:
         ct_keys, i_keys = [], []

@@ -28,36 +28,42 @@ def default_jacobi_sweeps() -> int:
 
 
 def _jacobi_eigh(A, sweeps: int):
-    """Batched cyclic Jacobi for symmetric (..., d, d) stacks. Returns
+    """Batched cyclic Jacobi for symmetric (E, d, d) stacks. Returns
     (w, V) with A ~= V @ diag(w) @ V^T. Rotation indices are static so the
-    whole sweep unrolls into fused row/column updates."""
+    whole sweep unrolls into fused row/column updates.
+
+    Internally works in (d, d, E) layout: the batch dim lands in the
+    128-lane minor axis so every rotation update is a full-width vector op
+    (an (E, 12, 12) layout pads 12 lanes to 128 — ~10x wasted VPU width)."""
     d = A.shape[-1]
-    V = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), A.shape)
+    E = A.shape[0]
+    A = jnp.moveaxis(A, 0, -1)                       # (d, d, E)
+    V = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype)[:, :, None], (d, d, E))
 
     def sweep(carry, _):
         A, V = carry
         for p in range(d):
             for q in range(p + 1, d):
-                app = A[..., p, p]
-                aqq = A[..., q, q]
-                apq = A[..., p, q]
+                app = A[p, p]
+                aqq = A[q, q]
+                apq = A[p, q]
                 theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-                c = jnp.cos(theta)[..., None]
-                s = jnp.sin(theta)[..., None]
-                Ap = c * A[..., p, :] - s * A[..., q, :]
-                Aq = s * A[..., p, :] + c * A[..., q, :]
-                A = A.at[..., p, :].set(Ap).at[..., q, :].set(Aq)
-                Ap = c * A[..., :, p] - s * A[..., :, q]
-                Aq = s * A[..., :, p] + c * A[..., :, q]
-                A = A.at[..., :, p].set(Ap).at[..., :, q].set(Aq)
-                Vp = c * V[..., :, p] - s * V[..., :, q]
-                Vq = s * V[..., :, p] + c * V[..., :, q]
-                V = V.at[..., :, p].set(Vp).at[..., :, q].set(Vq)
+                c = jnp.cos(theta)                   # (E,)
+                s = jnp.sin(theta)
+                Ap = c * A[p] - s * A[q]             # (d, E)
+                Aq = s * A[p] + c * A[q]
+                A = A.at[p].set(Ap).at[q].set(Aq)
+                Ap = c * A[:, p] - s * A[:, q]
+                Aq = s * A[:, p] + c * A[:, q]
+                A = A.at[:, p].set(Ap).at[:, q].set(Aq)
+                Vp = c * V[:, p] - s * V[:, q]
+                Vq = s * V[:, p] + c * V[:, q]
+                V = V.at[:, p].set(Vp).at[:, q].set(Vq)
         return (A, V), None
 
     (A, V), _ = jax.lax.scan(sweep, (A, V), None, length=sweeps)
-    w = jnp.diagonal(A, axis1=-2, axis2=-1)
-    return w, V
+    w = jnp.moveaxis(jnp.diagonal(A, axis1=0, axis2=1), -1, 0)  # (E, d)
+    return w, jnp.moveaxis(V, -1, 0)                 # (E, d, d)
 
 
 def batched_eigh(H, jacobi_sweeps: int):
