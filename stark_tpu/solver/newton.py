@@ -485,7 +485,8 @@ class NewtonsMethod:
             if mode == ProjectionToPD.ProjectOnDemand:
                 if self._pdn_countdown > 0:
                     hess, n = self._jit_project_all(hess_raw, s.projection_eps,
-                                                    s.project_to_pd_use_mirroring)
+                                                    s.project_to_pd_use_mirroring,
+                                                    data)
                     return hess, True, int(n)
                 return hess_raw, False, 0
             if mode == ProjectionToPD.Progressive:

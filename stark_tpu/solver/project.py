@@ -62,7 +62,7 @@ def _jacobi_eigh(A, sweeps: int):
         return (A, V), None
 
     (A, V), _ = jax.lax.scan(sweep, (A, V), None, length=sweeps)
-    w = jnp.moveaxis(jnp.diagonal(A, axis1=0, axis2=1), -1, 0)  # (E, d)
+    w = jnp.diagonal(A, axis1=0, axis2=1)            # already (E, d)
     return w, jnp.moveaxis(V, -1, 0)                 # (E, d, d)
 
 
