@@ -444,7 +444,7 @@ class ContactEngine:
     # ------------------------------------------------------------------
     # pair generation (traced; shapes static given caps)
     # ------------------------------------------------------------------
-    def _pt_pairs(self, stem, Vs, Vr, th, extra_mat=None):
+    def _pt_pairs(self, stem, Vs, Vr, th, extra_mat=None, slack=None):
         """Two-stage masked PT proximity for one combo block.
 
         Stage 1 (broad phase, dense but ~10 flops/pair): point-vs-triangle
@@ -454,6 +454,11 @@ class ContactEngine:
         d(p,tri) >= |p-c| - r. Stage 2 (narrow phase): exact IPC
         point-triangle distance evaluated ONLY on the compacted candidate
         buffer, then re-compacted to the final pair capacity.
+
+        slack (traced scalar or None): when given, pairs are collected out to
+        d <= dhat + slack (the per-solve frozen-candidate margin; see
+        fused.py) and the counts dict gains an "n_live_<stem>" entry with the
+        exact d <= dhat pair count at this state (a metric, not a cap).
 
         Returns (p_idx, t_idx, active, d, counts_dict, dhat_sel)."""
         if stem == "pt_dd":
@@ -489,13 +494,14 @@ class ContactEngine:
         cap = self._cap(pfx + stem)
         nt = len(tm)
         counts = {}
+        sl = jnp.asarray(0.0 if slack is None else slack, self.dtype)
 
         if self._use_grid(len(pm), nt):
             # stage 1 via the spatial hash (O(N*k)); exclusions evaluate
             # per candidate (functional form — no O(N^2) masks)
             allowed_fn = self._pt_allowed_fn(stem, tri, pm, tm, extra_mat)
             cp, ct, ccount, gc = self._grid_stage1(
-                "g_" + stem, P, th_p, c, r + th_t, allowed_fn, ccap)
+                "g_" + stem, P, th_p + sl, c, r + th_t, allowed_fn, ccap)
             counts.update(gc)
         else:
             # stage 1: bounding-sphere prefilter on the dense grid (dhat
@@ -504,7 +510,7 @@ class ContactEngine:
             if extra_mat is not None:
                 allowed = allowed & (self._lift_mesh_pair(extra_mat, pm, tm) != 0.0)
             dc2 = jnp.sum((P[:, None, :] - c[None, :, :]) ** 2, -1)
-            pre = allowed & (dc2 <= (r[None, :] + th_p[:, None] + th_t[None, :]) ** 2)
+            pre = allowed & (dc2 <= (r[None, :] + sl + th_p[:, None] + th_t[None, :]) ** 2)
             cidx, ccount = compact_indices(pre.ravel(), ccap)
             cp = cidx // nt
             ct = cidx % nt
@@ -512,18 +518,22 @@ class ContactEngine:
         # stage 2: exact IPC distance on candidates only
         d_c = jax.vmap(nph.point_triangle_distance)(P[cp], t0[ct], t1[ct], t2[ct])
         dhat_c = th_p[cp] + th_t[ct]
-        valid = (jnp.arange(ccap) < jnp.minimum(ccount, ccap)) & (d_c <= dhat_c)
+        in_range = jnp.arange(ccap) < jnp.minimum(ccount, ccap)
+        valid = in_range & (d_c <= dhat_c + sl)
         sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
         counts[pfx + stem] = count
         counts[("cf_" if extra_mat is not None else "c_") + stem] = ccount
+        if slack is not None:
+            counts["n_live_" + stem] = jnp.sum(
+                (in_range & (d_c <= dhat_c)).astype(jnp.int32))
         return cp[sel], ct[sel], active, d_c[sel], counts, dhat_c[sel]
 
-    def _ee_pairs(self, stem, Vs, Vr, th, extra_mat=None):
+    def _ee_pairs(self, stem, Vs, Vr, th, extra_mat=None, slack=None):
         """Two-stage masked EE proximity (see _pt_pairs): stage 1 is the
         edge bounding-sphere test `|ma-mb|^2 <= (la/2+lb/2+dhat)^2` over the
         dense grid, stage 2 the exact IPC edge-edge distance on compacted
-        candidates."""
+        candidates. slack: see _pt_pairs."""
         if stem == "ee_dd":
             EA, ea, eam = Vs, self.es, self.es_mesh
             EB, eb, ebm = Vs, self.es, self.es_mesh
@@ -550,11 +560,12 @@ class ContactEngine:
         cap = self._cap(pfx + stem)
         nb = len(ebm)
         counts = {}
+        sl = jnp.asarray(0.0 if slack is None else slack, self.dtype)
 
         if self._use_grid(len(eam), nb):
             allowed_fn = self._ee_allowed_fn(stem, ea, eb, eam, ebm, extra_mat)
             ca, cb, ccount, gc = self._grid_stage1(
-                "g_" + stem, ma, ha + th_a, mb, hb + th_b, allowed_fn, ccap)
+                "g_" + stem, ma, ha + th_a + sl, mb, hb + th_b, allowed_fn, ccap)
             counts.update(gc)
         else:
             # stage 1: midpoint/half-length sphere bound, conservative since
@@ -564,7 +575,7 @@ class ContactEngine:
             if extra_mat is not None:
                 allowed = allowed & (self._lift_mesh_pair(extra_mat, eam, ebm) != 0.0)
             dm2 = jnp.sum((ma[:, None, :] - mb[None, :, :]) ** 2, -1)
-            pre = allowed & (dm2 <= (ha[:, None] + hb[None, :]
+            pre = allowed & (dm2 <= (ha[:, None] + hb[None, :] + sl
                                      + th_a[:, None] + th_b[None, :]) ** 2)
             cidx, ccount = compact_indices(pre.ravel(), ccap)
             ca = cidx // nb
@@ -574,11 +585,15 @@ class ContactEngine:
         d_c = jax.vmap(lambda x0, x1, y0, y1: nph.edge_edge_distance(
             x0, x1, y0, y1, parallel_tol=ptol))(a0[ca], a1[ca], b0[cb], b1[cb])
         dhat_c = th_a[ca] + th_b[cb]
-        valid = (jnp.arange(ccap) < jnp.minimum(ccount, ccap)) & (d_c <= dhat_c)
+        in_range = jnp.arange(ccap) < jnp.minimum(ccount, ccap)
+        valid = in_range & (d_c <= dhat_c + sl)
         sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
         counts[pfx + stem] = count
         counts[("cf_" if extra_mat is not None else "c_") + stem] = ccount
+        if slack is not None:
+            counts["n_live_" + stem] = jnp.sum(
+                (in_range & (d_c <= dhat_c)).astype(jnp.int32))
         return ca[sel], cb[sel], active, d_c[sel], counts, dhat_c[sel]
 
     # ------------------------------------------------------------------
@@ -680,6 +695,64 @@ class ContactEngine:
             counts.update(cnts)
         return out, counts
 
+    # ------------------------------------------------------------------
+    # per-solve frozen candidate tables (fused path; see fused.py)
+    # ------------------------------------------------------------------
+    def candidates_fn(self, Vs, Vr, th, slack):
+        """One-shot candidate build for the frozen-topology Newton solve:
+        contact pair tables out to d <= dhat + slack plus intersection
+        candidate buffers with the same margin. Returns
+        (contact_data, isect_cands, counts). Every sort/compaction of the
+        collision pipeline lives here — the Newton loop proper re-derives
+        distances from trial DOFs inside the energies (which clamp at dhat)
+        and runs only exact segment-triangle tests over the frozen buffers,
+        so this is the ONLY expensive collision call site, executed via
+        lax.cond when the accumulated motion exceeds the slack budget."""
+        out = {}
+        counts = {}
+        for stem in self._blocks():
+            if stem.startswith("pt"):
+                p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(
+                    stem, Vs, Vr, th, slack=slack)
+                out["contact_" + stem] = self._pt_family_data(
+                    stem, p_idx, t_idx, active, dh)
+            else:
+                a_idx, b_idx, active, d, cnts, dh = self._ee_pairs(
+                    stem, Vs, Vr, th, slack=slack)
+                out["contact_" + stem] = self._ee_family_data(
+                    stem, a_idx, b_idx, active, dh)
+            counts.update(cnts)
+        if self.model.global_params.intersection_test_enabled:
+            icands, icounts = self._isect_stage1(Vs, Vr, slack=slack)
+            counts.update(icounts)
+        else:
+            icands = {}
+        return out, icands, counts
+
+    def candidate_count_keys(self):
+        """Exactly the count keys candidates_fn emits (cap keys + n_live_
+        metric keys, which the host must NOT treat as capacities)."""
+        keys = []
+        for stem in self._blocks():
+            keys.append(stem)
+            keys += self._stage1_keys(stem)
+            keys.append("n_live_" + stem)
+        if self.model.global_params.intersection_test_enabled:
+            keys += self.intersect_count_keys()
+        return keys
+
+    def world_from_u(self, u, state, dt):
+        """(Vs, Vr) world positions under trial DOFs u."""
+        return self._world(self.glob_from_u(u, state, dt), dt)
+
+    def max_rigid_lever(self) -> float:
+        """Static bound on |r| of any rigid contact vertex: converts an
+        angular-velocity step bound into a world displacement bound for the
+        slack budget (fused.py [max] stage)."""
+        if len(self.rv_body) == 0:
+            return 0.0
+        return float(np.max(np.linalg.norm(self.rv_loc, axis=1)))
+
     def glob_from_u(self, u, state, dt):
         """Engine glob with trial velocities taken from the DOF vector
         (for fused device-side solves)."""
@@ -719,6 +792,8 @@ class ContactEngine:
         counts_np = np.asarray(counts_arr)
         overflow = False
         for k, c in zip(keys, counts_np):
+            if k.startswith("n_live_"):  # metric, not a capacity
+                continue
             c = int(c)
             if c > self._caps[k]:
                 self._caps[k] = max(2 * self._caps[k], int(1.5 * c))
@@ -852,20 +927,20 @@ class ContactEngine:
             keys += self._stage1_keys(stem)
         return keys
 
-    def _intersect_fn(self, glob):
-        """Returns (hit, counts) where counts maps each i_ block to its true
-        candidate count. Candidate overflow reports hit=True (conservative)
-        AND surfaces the count so the host can bump the cap and re-trace —
-        without the count an overflowed cap would report 'intersecting'
-        forever and deadlock the retry ladder."""
-        Vs, Vr = self._world(glob, glob["dt"])
-        hit = jnp.zeros((), bool)
+    def _isect_stage1(self, Vs, Vr, slack=None):
+        """Intersection candidate generation for all active blocks:
+        {ikey: (ce, ct, ccount)} plus the counts dict. With `slack` (traced
+        scalar) candidates are collected with an inflated prefilter radius so
+        the buffer stays a superset of potentially-intersecting pairs while
+        no primitive endpoint moves more than slack/2 from this state (the
+        per-solve frozen-candidate contract, see fused.py)."""
+        sl = jnp.asarray(0.0 if slack is None else slack, self.dtype)
+        cands = {}
         counts = {}
-
-        def run(E, edges, T, tris, excl_fn, excl_dense, ikey, cnts):
+        for ikey, E, edges, T, tris, excl_fn, excl_dense in self._i_geoms(Vs, Vr):
             p0, p1 = E[edges[:, 0]], E[edges[:, 1]]
             t0, t1, t2 = T[tris[:, 0]], T[tris[:, 1]], T[tris[:, 2]]
-            # stage 1: midpoint/bounding-sphere prefilter (a segment can only
+            # midpoint/bounding-sphere prefilter (a segment can only
             # intersect a triangle if |m_e - c_t| <= l_e/2 + r_t)
             c = (t0 + t1 + t2) / 3.0
             r = jnp.sqrt(jnp.maximum(jnp.maximum(
@@ -877,20 +952,50 @@ class ContactEngine:
             nt = tris.shape[0]
             if self._use_grid(edges.shape[0], nt):
                 ce, ct, ccount, gc = self._grid_stage1(
-                    "g_" + ikey, m, h, c, r, excl_fn, icap)
-                cnts.update(gc)
+                    "g_" + ikey, m, h + sl, c, r, excl_fn, icap)
+                counts.update(gc)
             else:
                 dm2 = jnp.sum((m[:, None, :] - c[None, :, :]) ** 2, -1)
-                pre = jnp.asarray(~excl_dense) & (dm2 <= (h[:, None] + r[None, :]) ** 2)
+                pre = jnp.asarray(~excl_dense) & (
+                    dm2 <= (h[:, None] + sl + r[None, :]) ** 2)
                 cidx, ccount = compact_indices(pre.ravel(), icap)
                 ce, ct = cidx // nt, cidx % nt
-            # stage 2: exact segment-triangle test on candidates only;
-            # candidate overflow reports "intersecting" (conservative: forces
-            # step halving) and the surfaced count triggers a cap bump
-            isect = jax.vmap(nph.segment_triangle_intersects)(
-                p0[ce], p1[ce], t0[ct], t1[ct], t2[ct])
+            cands[ikey] = (ce, ct, ccount)
+            counts[ikey] = ccount
+        return cands, counts
+
+    def _isect_exact(self, Vs, Vr, cands):
+        """Exact segment-triangle tests over frozen candidate buffers: the
+        cheap per-trial half of the oracle (no grids, no sorts, no
+        compaction). Candidate overflow reports hit=True (conservative:
+        forces step halving until the host bumps the cap and re-traces)."""
+        hit = jnp.zeros((), bool)
+        for ikey, E, edges, T, tris, _excl_fn, _excl_dense in self._i_geoms(Vs, Vr):
+            if ikey not in cands:
+                continue
+            ce, ct, ccount = cands[ikey]
+            icap = ce.shape[0]
+            p0, p1 = E[edges[ce, 0]], E[edges[ce, 1]]
+            t0, t1, t2 = T[tris[ct, 0]], T[tris[ct, 1]], T[tris[ct, 2]]
+            isect = jax.vmap(nph.segment_triangle_intersects)(p0, p1, t0, t1, t2)
             valid = jnp.arange(icap) < jnp.minimum(ccount, icap)
-            return jnp.any(isect & valid) | (ccount > icap), ccount
+            hit |= jnp.any(isect & valid) | (ccount > icap)
+        return hit
+
+    def _intersect_fn(self, glob):
+        """Returns (hit, counts) where counts maps each i_ block to its true
+        candidate count. Candidate overflow reports hit=True (conservative)
+        AND surfaces the count so the host can bump the cap and re-trace —
+        without the count an overflowed cap would report 'intersecting'
+        forever and deadlock the retry ladder."""
+        Vs, Vr = self._world(glob, glob["dt"])
+        cands, counts = self._isect_stage1(Vs, Vr)
+        hit = self._isect_exact(Vs, Vr, cands)
+        return hit, counts
+
+    def _i_geoms(self, Vs, Vr):
+        """Per-block intersection geometry descriptors:
+        (ikey, E, edges, T, tris, excl_fn, excl_dense)."""
 
         def et_excl_fn(edges, tris, same_mesh_np=None, share=True):
             """Functional edge-triangle exclusion for the grid path: shared
@@ -919,33 +1024,27 @@ class ContactEngine:
             return f
 
         # soft edges vs soft tris / rigid tris; rigid edges vs soft tris / rigid tris
+        geoms = []
         if len(self.es) and len(self.ts):
-            h, counts["i_ss"] = run(Vs, jnp.asarray(self.es), Vs, jnp.asarray(self.ts),
-                                    et_excl_fn(self.es, self.ts),
-                                    self.et_ss_excl, "i_ss", counts)
-            hit |= h
+            geoms.append(("i_ss", Vs, jnp.asarray(self.es), Vs, jnp.asarray(self.ts),
+                          et_excl_fn(self.es, self.ts), self.et_ss_excl))
         if len(self.es) and len(self.tr):
-            h, counts["i_sr"] = run(Vs, jnp.asarray(self.es), Vr, jnp.asarray(self.tr),
-                                    et_excl_fn(self.es, self.tr, share=False),
-                                    np.zeros((len(self.es), len(self.tr)), dtype=bool),
-                                    "i_sr", counts)
-            hit |= h
+            geoms.append(("i_sr", Vs, jnp.asarray(self.es), Vr, jnp.asarray(self.tr),
+                          et_excl_fn(self.es, self.tr, share=False),
+                          np.zeros((len(self.es), len(self.tr)), dtype=bool)))
         if len(self.er) and len(self.ts):
-            h, counts["i_rs"] = run(Vr, jnp.asarray(self.er), Vs, jnp.asarray(self.ts),
-                                    et_excl_fn(self.er, self.ts, share=False),
-                                    np.zeros((len(self.er), len(self.ts)), dtype=bool),
-                                    "i_rs", counts)
-            hit |= h
+            geoms.append(("i_rs", Vr, jnp.asarray(self.er), Vs, jnp.asarray(self.ts),
+                          et_excl_fn(self.er, self.ts, share=False),
+                          np.zeros((len(self.er), len(self.ts)), dtype=bool)))
         if len(self.er) and len(self.tr):
             # same-mesh rigid self-intersection cannot change; exclude same mesh
             excl = (self.et_rr_excl | (self.er_mesh[:, None] == self.tr_mesh[None, :])
                     if self.et_rr_excl is not None else None)
-            h, counts["i_rr"] = run(Vr, jnp.asarray(self.er), Vr, jnp.asarray(self.tr),
-                                    et_excl_fn(self.er, self.tr,
-                                               same_mesh_np=(self.er_mesh, self.tr_mesh)),
-                                    excl, "i_rr", counts)
-            hit |= h
-        return hit, counts
+            geoms.append(("i_rr", Vr, jnp.asarray(self.er), Vr, jnp.asarray(self.tr),
+                          et_excl_fn(self.er, self.tr,
+                                     same_mesh_np=(self.er_mesh, self.tr_mesh)),
+                          excl))
+        return geoms
 
     def has_intersection(self, dt) -> bool:
         glob = self._engine_glob(dt)

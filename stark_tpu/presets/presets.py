@@ -205,6 +205,28 @@ class RigidBodyPresetHandler:
     triangles: Optional[np.ndarray] = None
 
 
+def _rcm_reorder_mesh(V, T):
+    """Reverse-Cuthill-McKee vertex reordering of a (V, T) triangle mesh via
+    the native runtime (native/stark_native.cc sn_rcm_order; reference:
+    symx mesh_ordering.h:5-33). Returns (V', T') with remapped indices;
+    no-op when the native library is unavailable."""
+    from .. import native
+
+    V = np.asarray(V, dtype=np.float64)
+    T = np.asarray(T, dtype=np.int64)
+    if len(V) == 0 or len(T) == 0:
+        return V, T
+    edges = native.find_edges(T)
+    if edges is None:
+        return V, T
+    perm = native.rcm_order(edges, len(V))  # perm[new] = old
+    if perm is None:
+        return V, T
+    inv = np.empty(len(V), dtype=np.int64)
+    inv[perm] = np.arange(len(V))
+    return V[perm], inv[T]
+
+
 class RigidBodyPresets:
     """RigidBodyPresets.h:27-50: add (mesh + inertia), primitives with
     analytic inertia tensors."""
@@ -218,6 +240,11 @@ class RigidBodyPresets:
         return self.stark.settings.simulation.init_frictional_contact
 
     def _finish(self, output_label, handler, V, T, contact_params):
+        # RCM-reorder the rigid body's LOCAL vertex list (the TPU analog of
+        # symx reorder_connectivity_RCM, mesh_ordering.h:5-33): rigid DOFs
+        # are per-body so local vertex order is free, and a banded ordering
+        # tightens the contact engine's rv_loc / triangle gather locality.
+        V, T = _rcm_reorder_mesh(V, T)
         contact = None
         if self._contact_on():
             contact = self.interactions.contact.add_triangles(

@@ -216,6 +216,123 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
     def diag_blocks(data, hess):
         return diag_blocks_ctx(hvp_context(data, hess))
 
+    # ------------------------------------------------------------------
+    # two-bucket arity consolidation for the fused CG loop.
+    #
+    # The per-CG-iteration cost on TPU is dominated by kernel-launch count,
+    # not flops: one gather + one batched matvec per ARITY GROUP. Families
+    # are therefore padded into just two buckets (arity<=3 -> 3, else -> 5)
+    # with dummy-block (n_blocks) connectivity padding, so every CG
+    # iteration runs exactly two gather/einsum pairs + one gather-table
+    # reduction regardless of how many families exist. Padded conn entries
+    # gather a zero row of p and their output rows are routed away by the
+    # scatter table; padded H rows/cols are zero.
+    # ------------------------------------------------------------------
+    _BUCKETS = (3, 5)
+
+    def _bucket_of(arity: int) -> int:
+        return 3 if arity <= 3 else 5
+
+    def _bucket_names(data):
+        """Canonical per-bucket family order (sorted names)."""
+        out = {b: [] for b in _BUCKETS}
+        for name in sorted(data.keys()):
+            out[_bucket_of(fam_by_name[name].arity)].append(name)
+        return out
+
+    def bucket_conn(data):
+        """Consolidated effective connectivity per bucket: (Eb, b) int32 with
+        value n_blocks for arity padding and for inactive rows (so padded
+        rows add no degree to real blocks). Frozen between contact-table
+        rebuilds; feeds both the scatter table and the per-iteration Hvp."""
+        names = _bucket_names(data)
+        out = {}
+        for b in _BUCKETS:
+            parts = []
+            for name in names[b]:
+                fd = data[name]
+                conn = fd["conn"]
+                act = fd["rows"]["active"] > 0.5
+                conn = jnp.where(act[:, None], conn, n_blocks)
+                a = conn.shape[1]
+                if a < b:
+                    pad = jnp.full((conn.shape[0], b - a), n_blocks, conn.dtype)
+                    conn = jnp.concatenate([conn, pad], axis=1)
+                parts.append(conn)
+            if parts:
+                out[b] = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        return out
+
+    def bucket_hess(hess, data):
+        """Consolidated element Hessians per bucket: (Eb, 3b, 3b), canonical
+        family order matching bucket_conn. Zero-pads the extra rows/cols."""
+        names = _bucket_names(data)
+        out = {}
+        for b in _BUCKETS:
+            parts = []
+            for name in names[b]:
+                H = hess[name]
+                d = H.shape[-1]
+                if d < 3 * b:
+                    p = 3 * b - d
+                    H = jnp.pad(H, ((0, 0), (0, p), (0, p)))
+                parts.append(H)
+            if parts:
+                out[b] = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        return out
+
+    def scatter_rows(conn_cat):
+        """Flat block-row vector of the consolidated layout (concat of
+        bucket conns, bucket order ascending). Value n_blocks = dropped."""
+        parts = [conn_cat[b].reshape(-1) for b in _BUCKETS if b in conn_cat]
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def scatter_table_rows(rows, K: int):
+        """Gather table over a flat block-row vector (see scatter_table)."""
+        R = rows.shape[0]
+        order = jnp.argsort(rows)
+        rows_sorted = rows[order]
+        ids = jnp.arange(n_blocks, dtype=rows.dtype)
+        starts = jnp.searchsorted(rows_sorted, ids, side="left")
+        ends = jnp.searchsorted(rows_sorted, ids, side="right")
+        lens = (ends - starts).astype(jnp.int32)
+        pos = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+        valid = jnp.arange(K, dtype=jnp.int32)[None, :] < lens[:, None]
+        entry = jnp.where(valid, order[jnp.clip(pos, 0, R - 1)], R)
+        return entry, jnp.max(lens)
+
+    def hvp_bucket(p, conn_cat, H_cat, entry):
+        """q = H p over the consolidated two-bucket layout: 2 gathers +
+        2 batched matvecs + 1 gather-table reduction per call."""
+        p_pad = jnp.concatenate([p, jnp.zeros((1, 3), p.dtype)])
+        qs = []
+        for b in _BUCKETS:
+            if b not in conn_cat:
+                continue
+            p_e = p_pad[conn_cat[b]].reshape(-1, 3 * b)
+            q_e = jnp.einsum("eij,ej->ei", H_cat[b], p_e)
+            qs.append(q_e.reshape(-1, 3))
+        q_flat = jnp.concatenate(qs) if len(qs) > 1 else qs[0]
+        q_pad = jnp.concatenate([q_flat, jnp.zeros((1, 3), q_flat.dtype)])
+        return jnp.sum(q_pad[entry], axis=1)
+
+    def diag_bucket(conn_cat, H_cat):
+        """3x3 diagonal blocks over the consolidated layout. Dummy rows
+        scatter into an extra segment that is sliced off."""
+        dtype = next(iter(H_cat.values())).dtype
+        D = jnp.zeros((n_blocks + 1, 3, 3), dtype=dtype)
+        for b in _BUCKETS:
+            if b not in conn_cat:
+                continue
+            H = H_cat[b]
+            Hb = H.reshape(H.shape[0], b, 3, b, 3)
+            d_e = jnp.einsum("eiaib->eiab", Hb)
+            D = D + jax.ops.segment_sum(
+                d_e.reshape(-1, 3, 3),
+                jnp.clip(conn_cat[b], 0, n_blocks).reshape(-1),
+                num_segments=n_blocks + 1)
+        return D[:-1]
+
     class Evaluators:
         pass
 
@@ -230,6 +347,12 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
     ev.diag_blocks_ctx = diag_blocks_ctx
     ev.scatter_table = scatter_table
     ev.hvp_table = hvp_table
+    ev.bucket_conn = bucket_conn
+    ev.bucket_hess = bucket_hess
+    ev.scatter_rows = scatter_rows
+    ev.scatter_table_rows = scatter_table_rows
+    ev.hvp_bucket = hvp_bucket
+    ev.diag_bucket = diag_bucket
     return ev
 
 
@@ -237,13 +360,30 @@ def precondition_inverse(D, eps: float = 1e-30):
     """Batched inverse of the 3x3 diagonal blocks with identity fallback for
     empty/singular blocks (untouched DOF blocks have D=0; the reference never
     hits this because every DOF carries inertia, but padding safety matters
-    here). Mirrors prepare_preconditioning (BlockedSparseMatrix.h:150-186)."""
-    det = jnp.linalg.det(D)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=D.dtype), D.shape)
+    here). Mirrors prepare_preconditioning (BlockedSparseMatrix.h:150-186).
+
+    Closed-form adjugate inverse: XLA lowers `jnp.linalg.inv` through an LU
+    expander (unsupported for f64 on TPU and slow for tiny batched blocks);
+    the symmetric 3x3 cofactor form is pure fused elementwise math."""
+    a, b, c = D[:, 0, 0], D[:, 0, 1], D[:, 0, 2]
+    e, f = D[:, 1, 1], D[:, 1, 2]
+    i = D[:, 2, 2]
+    A = e * i - f * f
+    B = c * f - b * i
+    C = b * f - c * e
+    det = a * A + b * B + c * C
+    E2 = a * i - c * c
+    F = b * c - a * f
+    I2 = a * e - b * b
+    adj = jnp.stack([
+        jnp.stack([A, B, C], -1),
+        jnp.stack([B, E2, F], -1),
+        jnp.stack([C, F, I2], -1),
+    ], -2)
     ok = jnp.abs(det) > eps
-    D_safe = jnp.where(ok[:, None, None], D, eye)
-    Dinv = jnp.linalg.inv(D_safe)
-    return jnp.where(ok[:, None, None], Dinv, eye)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=D.dtype), D.shape)
+    inv = adj / jnp.where(ok, det, 1.0)[:, None, None]
+    return jnp.where(ok[:, None, None], inv, eye)
 
 
 def apply_preconditioner(Dinv, r):

@@ -1,27 +1,44 @@
 """Fully fused device-side Newton solve: one dispatch per time step.
 
 Motivation: on this TPU setup every device->host synchronization costs
-seconds over the remote relay while async dispatches cost microseconds, so
-the staged host-driven Newton loop (6-15 syncs per iteration) is latency
-bound. This module compiles the ENTIRE solve — contact-table refresh, energy/
-gradient/Hessian, PD projection, matrix-free BDPCG, and both line-search
-stages — into a single `lax.while_loop` program. The host pulls one small
-scalar vector per step and runs only the rare retry-ladder decisions
-(dt halving, stiffness hardening, converged-state validity), exactly the
-host/device cut SURVEY.md §7 prescribes.
+milliseconds over the remote relay while async dispatches cost microseconds,
+so the staged host-driven Newton loop (6-15 syncs per iteration) is latency
+bound. This module compiles the ENTIRE solve — candidate-table construction,
+energy/gradient/Hessian, PD projection, matrix-free BDPCG, and both
+line-search stages — into a single `lax.while_loop` program. The host pulls
+one small scalar vector per step and runs only the rare retry-ladder
+decisions (dt halving, stiffness hardening, converged-state validity),
+exactly the host/device cut SURVEY.md §7 prescribes.
 
-Semantics match NewtonsMethod.cpp:28-641 for the fused-eligible
-configuration: ProjectedNewton (or pure Newton) projection, BDPCG linear
-solver, default residual, no user max-step/convergence callbacks. Other
-configurations take the staged path.
+Frozen candidate topology (the TPU analog of a Verlet neighbor list):
+the reference rebuilds contact connectivity at every Newton energy
+evaluation and every Armijo trial (EnergyFrictionalContact.cpp:368-530,
+NewtonsMethod.cpp:594-596) — affordable on CPU, but on TPU each rebuild is
+sort/compaction-bound (~100 ms device time at 32x32-cloth scale, measured).
+Here candidate pair tables are built ONCE with an inflated activation margin
+`slack` (pairs kept out to d <= dhat + slack) and FROZEN across Newton
+iterations; the barrier energies already re-derive the distance from the
+trial DOFs and clamp at dhat, so a superset table evaluates to exactly the
+same energy. The table stays a valid superset while no vertex moves more
+than slack/2 from its build position, enforced by:
 
-Overflow accounting: every candidate-buffer count produced anywhere in the
-solve — the per-iteration contact refresh, every Armijo-trial refresh, every
-intersection test (initial, per-inv-trial, converged) — is max-folded into
-one int32 vector the host checks after the step. Any overflow triggers a cap
-bump + re-trace (the static-shape analog of the reference's growing pair
-arrays). Counts travel as int32 end-to-end: float32 packing would lose
-integer exactness above 2^24 and misjudge near-cap comparisons.
+  * a displacement check at the top of every iteration that re-runs the
+    builder under `lax.cond` when the accumulated motion exceeds
+    0.45*slack (and at iteration 0), and
+  * a `[max]` line-search stage (the reference's max_allowed_step hook,
+    NewtonsMethod.cpp:459-641 — unused by stark itself) that clamps the
+    step so one line search cannot overrun the remaining slack budget,
+    flagging a rebuild for the next iteration when it clamps.
+
+The same contract covers the intersection oracle: candidate edge-triangle
+buffers are frozen with the same margin and every validity query (initial
+state, [inv] trials, converged state) runs only the exact vmapped
+segment-triangle tests over them.
+
+Overflow accounting: every capacity-bounded buffer count produced anywhere
+in the solve is max-folded into one int32 vector the host checks after the
+step. Any overflow triggers a cap bump + re-trace (the static-shape analog
+of the reference's growing pair arrays). Counts travel as int32 end-to-end.
 
 Result codes (match SolverReturn):
   1 Successful, 2 InvalidInitialState, 3 TooManyIterations,
@@ -39,19 +56,19 @@ from jax import lax
 from . import assembly, project
 from .pcg import solve_pcg
 
+_SQRT3 = 1.7320508075688772
+
 
 def build_fused_solve(nm, engine):
-    """Build the fused solve function closed over the NewtonsMethod evaluators
-    and the (optional) contact engine. Returns f(u0, static_data,
+    """Build the fused solve function closed over the NewtonsMethod
+    evaluators and the (optional) contact engine. Returns f(u0, static_data,
     friction_data, glob, eng_state, th_vec, params) ->
     (u, packed_f32_stats, counts_i32) where params = dict of scalar
     tolerances."""
 
     energy = nm._energy
     egh = nm._energy_grad_hess
-    hvp_context = nm._ev.hvp_context
-    hvp_ctx = nm._ev.hvp_ctx
-    diag_blocks_ctx = nm._ev.diag_blocks_ctx
+    ev = nm._ev
     s = nm.settings
     mirroring = s.project_to_pd_use_mirroring
     eps = s.projection_eps
@@ -60,60 +77,87 @@ def build_fused_solve(nm, engine):
     max_bt = s.max_backtracking_armijo_iterations
     beta = s.line_search_armijo_beta
     enable_bt = s.enable_armijo_backtracking
-
-    # monitor every capacity-bounded buffer for overflow (any triggers a
-    # host-side cap bump + re-trace): exact pair buffers, broad-phase
-    # candidate buffers, and intersection candidate buffers
-    if engine is not None:
-        ct_keys = sorted(engine.contact_count_keys())
-        i_keys = sorted(engine.intersect_count_keys()) \
-            if engine.model.global_params.intersection_test_enabled else []
-    else:
-        ct_keys, i_keys = [], []
-    # hvp_deg: max rows-per-block degree of the CG gather table (overflow ->
-    # the host doubles nm._hvp_K and re-traces)
-    count_keys = ct_keys + i_keys + ["hvp_deg"]
-    hvp_deg_slot = len(count_keys) - 1
     hvp_K = nm._hvp_K
-    n_counts = max(len(count_keys), 1)
+    n_blocks = nm.n_blocks
 
-    def _zero_counts():
-        return jnp.zeros((n_counts,), jnp.int32)
+    # monitor every capacity-bounded buffer for overflow; n_live_* keys are
+    # metrics (live pair counts at build states), skipped by the cap check
+    if engine is not None:
+        cand_keys = engine.candidate_count_keys()
+        r_max = engine.max_rigid_lever()
+        isect_on = engine.model.global_params.intersection_test_enabled
+    else:
+        cand_keys = []
+        r_max = 0.0
+        isect_on = False
+    count_keys = cand_keys + ["hvp_deg"]
+    key_slot = {k: i for i, k in enumerate(count_keys)}
+    hvp_deg_slot = key_slot["hvp_deg"]
+    n_counts = len(count_keys)
+    # world displacement per unit of du (inf-norm over velocity components):
+    # soft verts move dt*|dv|_2 <= dt*sqrt(3)*du_max; rigid verts add the
+    # angular lever dt*|dw|_2*|r| <= dt*sqrt(3)*du_max*r_max
+    reach_per_du = _SQRT3 * (1.0 + r_max)
 
-    def contact_tables(u, eng_state, dt, th_vec):
-        if engine is None:
-            return {}, _zero_counts()
-        g = engine.glob_from_u(u, eng_state, dt)
-        data, counts = engine._contacts_fn(g, th_vec)
-        arr = _zero_counts()
-        for k_i, k in enumerate(ct_keys):
-            arr = arr.at[k_i].set(counts[k].astype(jnp.int32))
-        return data, arr
+    def _counts_arr(counts: dict):
+        arr = jnp.zeros((n_counts,), jnp.int32)
+        for k, v in counts.items():
+            arr = arr.at[key_slot[k]].set(v.astype(jnp.int32))
+        return arr
 
-    def has_intersection(u, eng_state, dt):
-        """Returns (hit, counts) with intersection candidate counts folded
-        into the shared count vector (zeros elsewhere)."""
-        if engine is None or not engine.model.global_params.intersection_test_enabled:
-            return jnp.zeros((), bool), _zero_counts()
-        g = engine.glob_from_u(u, eng_state, dt)
-        hit, counts = engine._intersect_fn(g)
-        arr = _zero_counts()
-        for k_i, k in enumerate(i_keys):
-            arr = arr.at[len(ct_keys) + k_i].set(counts[k].astype(jnp.int32))
-        return hit, arr
-
-    def full_data(u, static_data, friction_data, glob, eng_state, th_vec):
-        cdata, counts = contact_tables(u, eng_state, glob["dt"], th_vec)
-        data = dict(static_data)
-        data.update(cdata)
-        data.update(friction_data)
-        return data, counts
+    def _world(u, eng_state, dt, dtype):
+        Vs, Vr = engine.world_from_u(u, eng_state, dt)
+        if Vs is None:
+            Vs = jnp.zeros((0, 3), dtype)
+        if Vr is None:
+            Vr = jnp.zeros((0, 3), dtype)
+        return Vs, Vr
 
     def fused_solve(u0, static_data, friction_data, glob, eng_state, th_vec, params):
         dt = glob["dt"]
         ftype = u0.dtype
 
-        init_bad, init_counts = has_intersection(u0, eng_state, dt)
+        def full_data(tables):
+            data = dict(static_data)
+            data.update(tables)
+            data.update(friction_data)
+            return data
+
+        def build_tables(u, du_ref):
+            """The one expensive collision call site: contact pair tables +
+            intersection candidates with margin slack, plus the consolidated
+            CG connectivity/scatter-table over the full family set."""
+            if engine is not None:
+                Vs, Vr = _world(u, eng_state, dt, ftype)
+                slack = jnp.maximum(
+                    params["slack_min"],
+                    2.5 * dt * reach_per_du * jnp.maximum(du_ref, params["du_floor"]))
+                tables, icands, counts = engine.candidates_fn(Vs, Vr, th_vec, slack)
+                carr = _counts_arr(counts)
+            else:
+                Vs = jnp.zeros((0, 3), ftype)
+                Vr = jnp.zeros((0, 3), ftype)
+                slack = jnp.asarray(jnp.inf, ftype)
+                tables, icands = {}, {}
+                carr = jnp.zeros((n_counts,), jnp.int32)
+            conn_cat = ev.bucket_conn(full_data(tables))
+            rows = ev.scatter_rows(conn_cat)
+            entry, max_deg = ev.scatter_table_rows(rows, hvp_K)
+            carr = carr.at[hvp_deg_slot].max(max_deg.astype(jnp.int32))
+            return tables, icands, conn_cat, entry, Vs, Vr, slack, carr
+
+        def isect_hit(u, icands):
+            """Exact intersection tests over the frozen candidates."""
+            if engine is None or not isect_on:
+                return jnp.zeros((), bool)
+            Vs, Vr = _world(u, eng_state, dt, ftype)
+            return engine._isect_exact(Vs, Vr, icands)
+
+        # zero-valued initial pytrees with the build shapes (filled by the
+        # iteration-0 rebuild inside the loop)
+        shapes = jax.eval_shape(build_tables, u0, jnp.zeros((), ftype))
+        tables0, icands0, conn0, entry0, Vs0, Vr0, _sl, _c = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes)
 
         class Carry(NamedTuple):
             u: jnp.ndarray
@@ -123,6 +167,7 @@ def build_fused_solve(nm, engine):
             code: jnp.ndarray
             cg_total: jnp.ndarray
             ls_cap: jnp.ndarray
+            ls_max: jnp.ndarray
             ls_inv: jnp.ndarray
             ls_bt: jnp.ndarray
             n_proj: jnp.ndarray
@@ -131,15 +176,52 @@ def build_fused_solve(nm, engine):
             E0: jnp.ndarray
             stall: jnp.ndarray
             counts_max: jnp.ndarray
+            tables: dict
+            icands: dict
+            conn_cat: dict
+            entry: jnp.ndarray
+            Vs_b: jnp.ndarray
+            Vr_b: jnp.ndarray
+            slack: jnp.ndarray
+            du_prev: jnp.ndarray
+            force_rb: jnp.ndarray
 
         def cond(c: Carry):
             return jnp.logical_and(jnp.logical_not(c.done), c.it < params["max_iterations"])
 
         def body(c: Carry):
             u = c.u
-            data, counts = full_data(u, static_data, friction_data, glob,
-                                     eng_state, th_vec)
-            counts_max = jnp.maximum(c.counts_max, counts)
+
+            # ---- candidate-table validity guard + conditional rebuild ----
+            if engine is not None:
+                Vs, Vr = _world(u, eng_state, dt, ftype)
+                d2 = jnp.concatenate([
+                    jnp.sum((Vs - c.Vs_b) ** 2, -1),
+                    jnp.sum((Vr - c.Vr_b) ** 2, -1)])
+                disp = jnp.sqrt(jnp.maximum(jnp.max(d2) if d2.shape[0] else 0.0, 0.0))
+            else:
+                disp = jnp.zeros((), ftype)
+            need = (c.it == 0) | c.force_rb | (disp > 0.45 * c.slack)
+
+            def do_rebuild(_):
+                return build_tables(u, c.du_prev)
+
+            def keep(_):
+                return (c.tables, c.icands, c.conn_cat, c.entry,
+                        c.Vs_b, c.Vr_b, c.slack, c.counts_max)
+
+            tables, icands, conn_cat, entry, Vs_b, Vr_b, slack, carr = lax.cond(
+                need, do_rebuild, keep, operand=None)
+            counts_max = jnp.maximum(c.counts_max, carr)
+            disp = jnp.where(need, 0.0, disp)
+
+            # initial-state validity (reference: before the loop,
+            # NewtonsMethod.cpp:28-40); here at it==0 over fresh candidates
+            init_bad = lax.cond(
+                c.it == 0, lambda _: isect_hit(u, icands),
+                lambda _: jnp.zeros((), bool), operand=None)
+
+            data = full_data(tables)
             E0, E_abs, grad, hess = egh(u, data, glob)
             # rounding-noise floor of any energy difference at this state:
             # each per-element energy carries ~eps(dtype)*|e_i| of rounding,
@@ -152,8 +234,6 @@ def build_fused_solve(nm, engine):
             # energy-stall convergence: two consecutive accepted iterations
             # whose energy improvement is below the rounding-noise floor —
             # the optimizer cannot certify further progress at this dtype.
-            # (Companion of the noise-tolerant Armijo below: accepting
-            # noise-level steps must not let the loop spin forever.)
             stalled = (c.it > 0) & ((c.E0 - E0) < noise.astype(E0.dtype))
             stall = jnp.where(stalled, c.stall + 1, 0).astype(jnp.int32)
             conv = (res < params["bailout_residual"]) \
@@ -170,18 +250,16 @@ def build_fused_solve(nm, engine):
                 hess_p, n_proj = hess, jnp.zeros((), jnp.int32)
             n_hess = project.count_elements(hess, data)
 
-            # BDPCG with forcing sequence (NewtonsMethod.cpp:423); the
-            # arity-consolidated Hvp context + gather-based scatter table are
-            # built once per Newton iteration and reused across all CG
-            # iterations (each iteration is then scatter-free)
+            # BDPCG with forcing sequence (NewtonsMethod.cpp:423) over the
+            # two-bucket consolidated layout: the scatter table is frozen
+            # with the candidate topology, only the element Hessians are
+            # re-consolidated per iteration
             forcing = jnp.minimum(1e-2, res * jnp.minimum(0.5, jnp.sqrt(res)))
             abs_tol = jnp.maximum(forcing, params["cg_abs_tolerance"])
-            ctx = hvp_context(data, hess_p)
-            entry, _R, max_deg = nm._ev.scatter_table(ctx, hvp_K)
-            counts_max = counts_max.at[hvp_deg_slot].max(max_deg.astype(jnp.int32))
-            D = diag_blocks_ctx(ctx)
+            H_cat = ev.bucket_hess(hess_p, data)
+            D = ev.diag_bucket(conn_cat, H_cat)
             Dinv = assembly.precondition_inverse(D)
-            A = lambda p: nm._ev.hvp_table(p, ctx, entry)
+            A = lambda p: ev.hvp_bucket(p, conn_cat, H_cat, entry)
             Minv = lambda r: assembly.apply_preconditioner(Dinv, r)
             cg = solve_pcg(A, Minv, -grad, abs_tol, params["cg_rel_tolerance"],
                            s.cg_max_iterations, s.cg_stop_on_indefiniteness)
@@ -189,13 +267,7 @@ def build_fused_solve(nm, engine):
             dug = jnp.vdot(du, grad)
             du_max = jnp.max(jnp.abs(du))
             step_conv = past_min & (du_max < params["step_tolerance"])
-            # Newton-decrement convergence at the precision noise floor:
-            # when the certifiable decrease |g.du| is below a few ulps of
-            # the energy sum, no further progress is resolvable at this
-            # dtype — the f64 reference exits via residual_tolerance long
-            # before this (eps64*E_abs ~ 1e-19), so parity is unaffected;
-            # under f32 it is what ends quasi-static steps whose gradient
-            # noise floor sits above residual_tolerance_abs.
+            # Newton-decrement convergence at the precision noise floor
             dec_conv = jnp.abs(dug) < 4.0 * noise
             lin_fail = jnp.logical_not(cg.converged) \
                 | ((dug >= 0.0) & jnp.logical_not(dec_conv))
@@ -204,70 +276,65 @@ def build_fused_solve(nm, engine):
             # [cap]
             capped = du_max > params["step_cap"]
             retraction = jnp.where(capped, params["step_cap"] / jnp.maximum(du_max, 1e-30), 1.0)
+
+            # [max]: clamp the step so the line search cannot overrun the
+            # frozen-candidate slack budget (0.45*slack - disp left); when it
+            # clamps, flag a rebuild so the next iteration restores stride
+            reach = dt * reach_per_du * du_max * retraction
+            budget = jnp.maximum(0.45 * slack - disp, 0.0)
+            max_step = jnp.where(reach > budget,
+                                 budget / jnp.maximum(reach, 1e-30), 1.0)
+            maxed = max_step < 1.0
+            retraction = retraction * max_step
+            force_rb = maxed
             du_ls = du * retraction
 
-            # [inv]
+            # [inv]: exact intersection tests over frozen candidates
             def valid_at(step):
-                hit, cnt = has_intersection(u + step * du_ls, eng_state, dt)
-                return jnp.logical_not(hit), cnt
+                return jnp.logical_not(isect_hit(u + step * du_ls, icands))
 
             def inv_cond(t):
-                step, i, valid, _ = t
+                step, i, valid = t
                 return jnp.logical_not(valid) & (i < max_inv)
 
             def inv_body(t):
-                step, i, _, cmax = t
+                step, i, _ = t
                 step = step * 0.5
-                valid, cnt = valid_at(step)
-                return (step, i + 1, valid, jnp.maximum(cmax, cnt))
+                return (step, i + 1, valid_at(step))
 
             step0 = jnp.ones((), ftype)
-            v0, c0 = valid_at(step0)
-            step, inv_it, inv_valid, counts_max = lax.while_loop(
+            step, inv_it, inv_valid = lax.while_loop(
                 inv_cond, inv_body,
-                (step0, jnp.zeros((), jnp.int32), v0, jnp.maximum(counts_max, c0)))
+                (step0, jnp.zeros((), jnp.int32), valid_at(step0)))
             inv_fail = jnp.logical_not(inv_valid)
 
-            # [bt] Armijo with contact-table refresh per trial; refresh counts
-            # fold into counts_max so overflow at a trial state (which would
-            # silently drop pairs and underestimate the trial energy) also
-            # triggers the host cap-bump re-trace
+            # [bt] Armijo over the frozen tables: the energies re-derive
+            # distances from the trial DOFs (clamped at dhat), so no table
+            # refresh is needed at trial states
             def energy_at(step):
-                ut = u + step * du_ls
-                d2, cnt = full_data(ut, static_data, friction_data, glob,
-                                    eng_state, th_vec)
-                return energy(ut, d2, glob), cnt
+                return energy(u + step * du_ls, data, glob)
 
             expected = beta * dug * retraction
             if enable_bt:
                 # Armijo reference energy from the SAME energy-only program
-                # as the trial energies: under f32 the egh program's E and
-                # the energy-only program's E differ by a systematic
-                # fusion-rounding bias (~1e-7 relative, i.e. larger than
-                # beta*dug near convergence), which made every trial look
-                # like an increase. Same-program evaluation cancels it.
+                # as the trial energies (fusion-rounding bias cancellation)
                 E0a = energy(u, data, glob)
 
-                # noise-tolerant Armijo: the sufficient-decrease term
-                # beta*dug*step is orders below the energy rounding noise,
-                # so the raw test degenerates to a coin flip on noise near
-                # flat regions; accepting within one noise floor keeps the
-                # reference semantics wherever differences are resolvable
+                # noise-tolerant Armijo: accepting within one noise floor
+                # keeps the reference semantics wherever differences are
+                # resolvable
                 def bt_cond(t):
-                    step, j, E1, _ = t
+                    step, j, E1 = t
                     return (E1 >= E0a + expected * step + noise) & (j < max_bt)
 
                 def bt_body(t):
-                    step, j, _, cmax = t
+                    step, j, _ = t
                     step = step * 0.5
-                    E1, cnt = energy_at(step)
-                    return (step, j + 1, E1, jnp.maximum(cmax, cnt))
+                    return (step, j + 1, energy_at(step))
 
-                E1_0, cbt0 = energy_at(step)
-                step, bt_it, _E1, counts_max = lax.while_loop(
+                step, bt_it, _E1 = lax.while_loop(
                     bt_cond, bt_body,
-                    (step, jnp.zeros((), jnp.int32), E1_0,
-                     jnp.maximum(counts_max, cbt0)))
+                    (step, jnp.zeros((), jnp.int32), energy_at(step)))
                 bt_fail = (bt_it >= max_bt) & (_E1 >= E0a + expected * step + noise)
             else:
                 bt_it = jnp.zeros((), jnp.int32)
@@ -276,33 +343,43 @@ def build_fused_solve(nm, engine):
             u_new = u + step * du_ls
 
             # outcome resolution, in the reference's order of checks
-            done = conv | lin_fail | step_conv | dec_conv | inv_fail | bt_fail
-            code = jnp.where(conv | step_conv | dec_conv, 1,
+            done = init_bad | conv | lin_fail | step_conv | dec_conv | inv_fail | bt_fail
+            code = jnp.where(init_bad, 2,
+                   jnp.where(conv | step_conv | dec_conv, 1,
                    jnp.where(lin_fail, 5,
                    jnp.where(inv_fail, 6,
-                   jnp.where(bt_fail, 4, 0)))).astype(jnp.int32)
+                   jnp.where(bt_fail, 4, 0))))).astype(jnp.int32)
             # on residual/step/decrement convergence the state is NOT advanced
-            u_out = jnp.where(conv | step_conv | dec_conv | lin_fail, u, u_new)
+            u_out = jnp.where(init_bad | conv | step_conv | dec_conv | lin_fail,
+                              u, u_new)
 
             return Carry(
                 u=u_out, it=c.it + 1, res0=res0, done=done, code=code,
                 cg_total=c.cg_total + cg.n_iterations,
                 ls_cap=c.ls_cap + capped.astype(jnp.int32),
+                ls_max=c.ls_max + maxed.astype(jnp.int32),
                 ls_inv=c.ls_inv + inv_it,
                 ls_bt=c.ls_bt + bt_it,
                 n_proj=c.n_proj + n_proj.astype(jnp.int32),
                 n_hess=c.n_hess + n_hess.astype(jnp.int32),
                 res=res, E0=E0, stall=stall, counts_max=counts_max,
+                tables=tables, icands=icands, conn_cat=conn_cat, entry=entry,
+                Vs_b=Vs_b, Vr_b=Vr_b, slack=slack,
+                du_prev=du_max, force_rb=force_rb,
             )
 
         z32 = jnp.zeros((), jnp.int32)
         zf = jnp.zeros((), ftype)
         # E0 carries the f64-accumulated total energy (assembly._ACC)
-        init = Carry(u=u0, it=z32, res0=zf, done=init_bad,
-                     code=jnp.where(init_bad, 2, 0).astype(jnp.int32),
-                     cg_total=z32, ls_cap=z32, ls_inv=z32, ls_bt=z32,
+        init = Carry(u=u0, it=z32, res0=zf, done=jnp.zeros((), bool),
+                     code=z32, cg_total=z32, ls_cap=z32, ls_max=z32,
+                     ls_inv=z32, ls_bt=z32,
                      n_proj=z32, n_hess=z32, res=zf, E0=jnp.zeros((), jnp.float64),
-                     stall=z32, counts_max=init_counts)
+                     stall=z32, counts_max=jnp.zeros((n_counts,), jnp.int32),
+                     tables=tables0, icands=icands0, conn_cat=conn0,
+                     entry=entry0, Vs_b=Vs0, Vr_b=Vr0, slack=zf,
+                     du_prev=params["du_prior"].astype(ftype),
+                     force_rb=jnp.zeros((), bool))
         final = lax.while_loop(cond, body, init)
         # loop exhausted without done -> TooManyIterations (or success if configured)
         exhausted = jnp.logical_not(final.done)
@@ -310,22 +387,23 @@ def build_fused_solve(nm, engine):
                          jnp.asarray(1 if s.max_iterations_as_success else 3, jnp.int32),
                          final.code)
         # converged-state intersection validity folded in (the reference
-        # re-checks it after success, EnergyFrictionalContact.cpp:25);
-        # host maps code 9 -> InvalidConvergedState
-        conv_hit, conv_counts = has_intersection(final.u, eng_state, dt)
+        # re-checks it after success, EnergyFrictionalContact.cpp:25); the
+        # final state is within the slack budget of the frozen candidates by
+        # construction. Host maps code 9 -> InvalidConvergedState.
+        conv_hit = isect_hit(final.u, final.icands)
         conv_bad = (code == 1) & conv_hit
         code = jnp.where(conv_bad, 9, code)
-        counts_max = jnp.maximum(final.counts_max, conv_counts)
         # single packed stats vector + the int32 counts vector: the host pulls
         # exactly one transfer of (u, stats, counts)
         packed = jnp.stack([
             code.astype(jnp.float32), final.it.astype(jnp.float32),
             final.cg_total.astype(jnp.float32),
-            final.ls_cap.astype(jnp.float32), final.ls_inv.astype(jnp.float32),
+            final.ls_cap.astype(jnp.float32), final.ls_max.astype(jnp.float32),
+            final.ls_inv.astype(jnp.float32),
             final.ls_bt.astype(jnp.float32), final.n_proj.astype(jnp.float32),
             final.n_hess.astype(jnp.float32), final.res.astype(jnp.float32),
-            final.E0.astype(jnp.float32),
+            final.E0.astype(jnp.float32), final.du_prev.astype(jnp.float32),
         ])
-        return final.u, packed, counts_max
+        return final.u, packed, final.counts_max
 
     return fused_solve, count_keys

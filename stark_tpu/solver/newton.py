@@ -103,6 +103,9 @@ class NewtonsMethod:
         # capacity (max rows per DOF block) of the CG gather-scatter table;
         # doubled on overflow like the engine's pair caps
         self._hvp_K = 128
+        # motion prior (max |du| of the last accepted solve) seeding the
+        # frozen-candidate slack at iteration 0 (fused.py)
+        self._du_prior = 1.0
         # per-key pair/candidate counts from the last fused solve (max over
         # its Newton iterations) — feeds the contact-pairs metric
         self._last_counts: Dict[str, int] = {}
@@ -213,9 +216,12 @@ class NewtonsMethod:
         if engine is not None:
             eng_state = engine.engine_state()
             dhat = engine._th_vec()
+            slack_min = 2.0 * float(np.max(np.asarray(
+                engine.model.contact_thicknesses)))
         else:
             eng_state = {}
             dhat = jnp.zeros((0, 0), dtype)
+            slack_min = 0.0
         params = {
             "max_iterations": jnp.asarray(min(s.max_iterations, 2**31 - 1), jnp.int32),
             "min_iterations": jnp.asarray(s.min_iterations, jnp.int32),
@@ -226,6 +232,12 @@ class NewtonsMethod:
             "step_cap": jnp.asarray(min(s.step_cap, np.finfo(np.float32).max), dtype),
             "cg_abs_tolerance": jnp.asarray(s.cg_abs_tolerance, dtype),
             "cg_rel_tolerance": jnp.asarray(s.cg_rel_tolerance, dtype),
+            # frozen-candidate slack controls (fused.py): slack_min covers
+            # near-rest steps, du_prior seeds iteration 0's motion estimate
+            # from the last accepted solve, du_floor guards the degenerate 0
+            "slack_min": jnp.asarray(slack_min, dtype),
+            "du_prior": jnp.asarray(self._du_prior, dtype),
+            "du_floor": jnp.asarray(1e-4, dtype),
         }
 
         with self.logger.time("fused_solve"):
@@ -263,22 +275,25 @@ class NewtonsMethod:
         self.set_dofs(u_out)
         if self.prime_host_dofs is not None:
             self.prime_host_dofs(u_np)
+        # motion prior for the next solve's iteration-0 candidate slack
+        self._du_prior = max(1e-4, float(packed[11]))
 
         st = self.stats
         st.newton_iterations = int(packed[1])
         st.cg_iterations = int(packed[2])
         st.ls_cap_iterations = int(packed[3])
-        st.ls_inv_iterations = int(packed[4])
-        st.ls_bt_iterations = int(packed[5])
-        st.n_projected_hessians = int(packed[6])
-        st.n_hessians = int(packed[7])
+        st.ls_max_iterations = int(packed[4])
+        st.ls_inv_iterations = int(packed[5])
+        st.ls_bt_iterations = int(packed[6])
+        st.n_projected_hessians = int(packed[7])
+        st.n_hessians = int(packed[8])
         if st.n_hessians > 0:
             st.projected_hessians_ratio = st.n_projected_hessians / st.n_hessians
         self.logger.add_and_append("newton_iterations", st.newton_iterations)
         self.logger.add_and_append("cg_iterations", st.cg_iterations)
         self.logger.append("projected_hessians_ratio", st.projected_hessians_ratio)
-        for key, n in (("ls_cap", st.ls_cap_iterations), ("ls_inv", st.ls_inv_iterations),
-                       ("ls_bt", st.ls_bt_iterations)):
+        for key, n in (("ls_cap", st.ls_cap_iterations), ("ls_max", st.ls_max_iterations),
+                       ("ls_inv", st.ls_inv_iterations), ("ls_bt", st.ls_bt_iterations)):
             self.logger.add_and_append(key, n)
 
         code_map = {
@@ -486,7 +501,7 @@ class NewtonsMethod:
                 if self._pdn_countdown > 0:
                     hess, n = self._jit_project_all(hess_raw, s.projection_eps,
                                                     s.project_to_pd_use_mirroring,
-                                                    data)
+                                                    data=data)
                     return hess, True, int(n)
                 return hess_raw, False, 0
             if mode == ProjectionToPD.Progressive:
@@ -655,11 +670,11 @@ class NewtonsMethod:
     # ------------------------------------------------------------------
     def live_contact_pairs(self) -> int:
         """Exact contact pairs live in the last solve (max over its Newton
-        iterations). Fused path: from the device counts vector. Staged path:
-        from the engine's host-mirrored tables."""
+        iterations; fused path counts d <= dhat at candidate-build states).
+        Staged path: from the engine's host-mirrored tables."""
         if self._last_counts:
             return sum(c for k, c in self._last_counts.items()
-                       if k.startswith(("pt_", "ee_")))
+                       if k.startswith("n_live_"))
         engine = self.get_engine() if self.get_engine is not None else None
         if engine is None:
             return 0

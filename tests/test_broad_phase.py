@@ -9,6 +9,8 @@ Reference behavior: tmcd octree vs bruteforce strategies agree
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _build(broad_phase):
     import math

@@ -10,6 +10,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _run(n_devices, steps=8):
     from stark_tpu import Settings, Simulation

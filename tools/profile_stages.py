@@ -42,7 +42,7 @@ def main():
 
     dt = core.dt
     glob_eng = eng._engine_glob(dt)
-    dhat = eng._dhat_mat()
+    dhat = eng._th_vec()
     contacts_jit = jax.jit(eng._contacts_fn)
     intersect_jit = jax.jit(eng._intersect_fn)
 
@@ -72,6 +72,17 @@ def main():
     from stark_tpu.solver import assembly
     hvp_jit = jax.jit(nm._hvp)
     timeit("one Hvp", lambda: hvp_jit(grad, data, hess_p))
+
+    # CG-loop internals: context/table build (once per Newton iter) vs the
+    # per-CG-iteration table-based Hvp
+    ctx_jit = jax.jit(lambda d, h: nm._ev.hvp_context(d, h))
+    timeit("hvp_context build", lambda: ctx_jit(data, hess_p))
+    ctx = ctx_jit(data, hess_p)
+    st_jit = jax.jit(lambda c: nm._ev.scatter_table(c, nm._hvp_K))
+    timeit("scatter_table (argsort)", lambda: st_jit(ctx))
+    entry, _R, _ = st_jit(ctx)
+    hvt_jit = jax.jit(lambda p, c, e: nm._ev.hvp_table(p, c, e))
+    timeit("hvp_table (per CG iter)", lambda: hvt_jit(grad, ctx, entry))
 
     diag_jit = jax.jit(lambda d, h: assembly.precondition_inverse(nm._diag_blocks(d, h)))
     timeit("diag blocks + inverse", lambda: diag_jit(data, hess_p))
