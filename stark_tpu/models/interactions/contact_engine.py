@@ -290,20 +290,27 @@ class ContactEngine:
         if name not in self._caps:
             if name.startswith("g_"):
                 # spatial-hash structural caps: per-target insertion slots /
-                # per-query bucket-scan length
-                h = 32 if name.endswith("_ins") else 64
-            elif name.startswith("c_") or name.startswith("cf_"):
-                # candidate buffers (sphere-bound prefilter hits): an order of
-                # magnitude looser than the exact-distance pair buffers.
-                # NOTE: check the cf_ prefix FIRST ('cf_x'.startswith('c_') is
-                # also true) so friction candidates size from the f_ pair cap.
-                final = self._cap("f_" + name[3:] if name.startswith("cf_")
-                                  else name[2:])
-                h = 16 * final
+                # per-query bucket-scan length (the latter must absorb the
+                # broad-shell slack radius: ~hundreds of targets per cell on
+                # a dense flat mesh)
+                h = 32 if name.endswith("_ins") else 512
+            elif name.startswith("cf_"):
+                # friction candidate buffers (no slack margin) size from the
+                # f_ pair cap. NOTE: check cf_ BEFORE c_ ('cf_x'.startswith
+                # ('c_') is also true).
+                h = 16 * self._cap("f_" + name[3:])
+            elif name.startswith("c_"):
+                # broad-shell candidate buffers: within slack_broad_max of a
+                # query a dense flat mesh packs O(100) primitives, so size by
+                # the query count (EE denser: parallel+diagonal edges)
+                stem = name[2:]
+                nq, _nt = self._block_sizes(stem)
+                h = max(16 * self._cap(stem),
+                        (128 if stem.startswith("ee") else 64) * max(nq, 1))
             elif name.startswith("i_"):
                 kind = name[2:]
                 ne = len(self.es) if kind[0] == "s" else len(self.er)
-                h = max(4096, 4 * ne)
+                h = max(4096, 64 * ne)
             else:
                 stem = name[2:] if name.startswith("f_") else name
                 if stem == "pt_dd":
@@ -461,51 +468,69 @@ class ContactEngine:
         exact d <= dhat pair count at this state (a metric, not a cap).
 
         Returns (p_idx, t_idx, active, d, counts_dict, dhat_sel)."""
+        P, pm, tri, tm, t0, t1, t2, c, r, th_p, th_t = self._pt_geom(
+            stem, Vs, Vr, th)
+
+        pfx = "f_" if extra_mat is not None else ""
+        ccap = self._cap(("cf_" if extra_mat is not None else "c_") + stem)
+        cap = self._cap(pfx + stem)
+        counts = {}
+        sl = jnp.asarray(0.0 if slack is None else slack, self.dtype)
+
+        cp, ct, ccount, c1 = self._pt_stage1(stem, P, c, r, th_p, th_t, sl,
+                                             tri, pm, tm, extra_mat, ccap)
+        counts.update(c1)
+        p_idx, t_idx, active, d_sel, dhat_sel, c2 = self._pt_stage2(
+            stem, P, t0, t1, t2, th_p, th_t, (cp, ct, ccount),
+            sl, cap, pfx, with_live=slack is not None)
+        counts.update(c2)
+        counts[("cf_" if extra_mat is not None else "c_") + stem] = ccount
+        return p_idx, t_idx, active, d_sel, counts, dhat_sel
+
+    def _pt_geom(self, stem, Vs, Vr, th):
+        """Per-stem PT geometry: points, triangles, bounding spheres,
+        thicknesses."""
         if stem == "pt_dd":
             P, pm = Vs, self.sv_mesh
             T, tri, tm = Vs, self.ts, self.ts_mesh
-            excl = self.pt_dd_excl
         elif stem == "pt_dr":
             P, pm = Vs, self.sv_mesh
             T, tri, tm = Vr, self.tr, self.tr_mesh
-            excl = np.zeros((len(pm), len(tm)), dtype=bool)
         elif stem == "pt_rd":
             P, pm = Vr, self.rv_mesh
             T, tri, tm = Vs, self.ts, self.ts_mesh
-            excl = np.zeros((len(pm), len(tm)), dtype=bool)
         else:  # pt_rr
             P, pm = Vr, self.rv_mesh
             T, tri, tm = Vr, self.tr, self.tr_mesh
-            excl = self.pt_rr_excl
-
         t0 = T[tri[:, 0]]
         t1 = T[tri[:, 1]]
         t2 = T[tri[:, 2]]
         th_p = th[jnp.asarray(pm)]   # (Np,) per-primitive thickness
         th_t = th[jnp.asarray(tm)]   # (Nt,)
-
         c = (t0 + t1 + t2) / 3.0
         r = jnp.sqrt(jnp.maximum(jnp.maximum(
             jnp.sum((t0 - c) ** 2, -1), jnp.sum((t1 - c) ** 2, -1)),
             jnp.sum((t2 - c) ** 2, -1)))
+        return P, pm, tri, tm, t0, t1, t2, c, r, th_p, th_t
 
-        pfx = "f_" if extra_mat is not None else ""
-        ccap = self._cap(("cf_" if extra_mat is not None else "c_") + stem)
-        cap = self._cap(pfx + stem)
+    def _pt_stage1(self, stem, P, c, r, th_p, th_t, sl, tri, pm, tm,
+                   extra_mat, ccap):
+        """PT broad phase -> compacted candidate buffer (cp, ct, ccount)."""
         nt = len(tm)
         counts = {}
-        sl = jnp.asarray(0.0 if slack is None else slack, self.dtype)
-
         if self._use_grid(len(pm), nt):
-            # stage 1 via the spatial hash (O(N*k)); exclusions evaluate
-            # per candidate (functional form — no O(N^2) masks)
+            # spatial hash (O(N*k)); exclusions evaluate per candidate
+            # (functional form — no O(N^2) masks)
             allowed_fn = self._pt_allowed_fn(stem, tri, pm, tm, extra_mat)
             cp, ct, ccount, gc = self._grid_stage1(
                 "g_" + stem, P, th_p + sl, c, r + th_t, allowed_fn, ccap)
             counts.update(gc)
         else:
-            # stage 1: bounding-sphere prefilter on the dense grid (dhat
-            # enters as the separable broadcast th_p + th_t, see _th_vec)
+            # bounding-sphere prefilter on the dense grid (dhat enters as
+            # the separable broadcast th_p + th_t, see _th_vec)
+            excl = {"pt_dd": self.pt_dd_excl, "pt_rr": self.pt_rr_excl}.get(stem)
+            if excl is None:
+                excl = np.zeros((len(pm), nt), dtype=bool)
             allowed = jnp.asarray(self.enabled_mat[np.ix_(pm, tm)] & ~excl)
             if extra_mat is not None:
                 allowed = allowed & (self._lift_mesh_pair(extra_mat, pm, tm) != 0.0)
@@ -514,63 +539,87 @@ class ContactEngine:
             cidx, ccount = compact_indices(pre.ravel(), ccap)
             cp = cidx // nt
             ct = cidx % nt
+        return cp, ct, ccount, counts
 
-        # stage 2: exact IPC distance on candidates only
+    def _pt_stage2(self, stem, P, t0, t1, t2, th_p, th_t, cands, sl, cap,
+                   pfx="", with_live=False):
+        """Exact IPC point-triangle distances over a candidate buffer,
+        filtered to d <= dhat + sl and compacted to the pair capacity."""
+        cp, ct, ccount = cands
+        ccap = cp.shape[0]
         d_c = jax.vmap(nph.point_triangle_distance)(P[cp], t0[ct], t1[ct], t2[ct])
         dhat_c = th_p[cp] + th_t[ct]
         in_range = jnp.arange(ccap) < jnp.minimum(ccount, ccap)
         valid = in_range & (d_c <= dhat_c + sl)
         sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
-        counts[pfx + stem] = count
-        counts[("cf_" if extra_mat is not None else "c_") + stem] = ccount
-        if slack is not None:
+        counts = {pfx + stem: count}
+        if with_live:
             counts["n_live_" + stem] = jnp.sum(
                 (in_range & (d_c <= dhat_c)).astype(jnp.int32))
-        return cp[sel], ct[sel], active, d_c[sel], counts, dhat_c[sel]
+        return cp[sel], ct[sel], active, d_c[sel], dhat_c[sel], counts
 
     def _ee_pairs(self, stem, Vs, Vr, th, extra_mat=None, slack=None):
         """Two-stage masked EE proximity (see _pt_pairs): stage 1 is the
         edge bounding-sphere test `|ma-mb|^2 <= (la/2+lb/2+dhat)^2` over the
         dense grid, stage 2 the exact IPC edge-edge distance on compacted
         candidates. slack: see _pt_pairs."""
-        if stem == "ee_dd":
-            EA, ea, eam = Vs, self.es, self.es_mesh
-            EB, eb, ebm = Vs, self.es, self.es_mesh
-            excl = self.ee_dd_excl
-        elif stem == "ee_dr":
-            EA, ea, eam = Vr, self.er, self.er_mesh
-            EB, eb, ebm = Vs, self.es, self.es_mesh
-            excl = np.zeros((len(eam), len(ebm)), dtype=bool)
-        else:  # ee_rr
-            EA, ea, eam = Vr, self.er, self.er_mesh
-            EB, eb, ebm = Vr, self.er, self.er_mesh
-            excl = self.ee_rr_excl
-
-        a0, a1 = EA[ea[:, 0]], EA[ea[:, 1]]
-        b0, b1 = EB[eb[:, 0]], EB[eb[:, 1]]
-        th_a = th[jnp.asarray(eam)]
-        th_b = th[jnp.asarray(ebm)]
-
-        ma, ha = 0.5 * (a0 + a1), 0.5 * jnp.linalg.norm(a1 - a0, axis=-1)
-        mb, hb = 0.5 * (b0 + b1), 0.5 * jnp.linalg.norm(b1 - b0, axis=-1)
+        (ea, eam, eb, ebm, a0, a1, b0, b1, ma, ha, mb, hb,
+         th_a, th_b) = self._ee_geom(stem, Vs, Vr, th)
 
         pfx = "f_" if extra_mat is not None else ""
         ccap = self._cap(("cf_" if extra_mat is not None else "c_") + stem)
         cap = self._cap(pfx + stem)
-        nb = len(ebm)
         counts = {}
         sl = jnp.asarray(0.0 if slack is None else slack, self.dtype)
 
+        ca, cb, ccount, c1 = self._ee_stage1(stem, ma, ha, mb, hb, th_a, th_b,
+                                             sl, ea, eb, eam, ebm, extra_mat, ccap)
+        counts.update(c1)
+        a_sel, b_sel, active, d_sel, dhat_sel, c2 = self._ee_stage2(
+            stem, a0, a1, b0, b1, th_a, th_b, (ca, cb, ccount),
+            sl, cap, pfx, with_live=slack is not None)
+        counts.update(c2)
+        counts[("cf_" if extra_mat is not None else "c_") + stem] = ccount
+        return a_sel, b_sel, active, d_sel, counts, dhat_sel
+
+    def _ee_geom(self, stem, Vs, Vr, th):
+        """Per-stem EE geometry: endpoints, midpoints/half-lengths,
+        thicknesses."""
+        if stem == "ee_dd":
+            EA, ea, eam = Vs, self.es, self.es_mesh
+            EB, eb, ebm = Vs, self.es, self.es_mesh
+        elif stem == "ee_dr":
+            EA, ea, eam = Vr, self.er, self.er_mesh
+            EB, eb, ebm = Vs, self.es, self.es_mesh
+        else:  # ee_rr
+            EA, ea, eam = Vr, self.er, self.er_mesh
+            EB, eb, ebm = Vr, self.er, self.er_mesh
+        a0, a1 = EA[ea[:, 0]], EA[ea[:, 1]]
+        b0, b1 = EB[eb[:, 0]], EB[eb[:, 1]]
+        th_a = th[jnp.asarray(eam)]
+        th_b = th[jnp.asarray(ebm)]
+        ma, ha = 0.5 * (a0 + a1), 0.5 * jnp.linalg.norm(a1 - a0, axis=-1)
+        mb, hb = 0.5 * (b0 + b1), 0.5 * jnp.linalg.norm(b1 - b0, axis=-1)
+        return ea, eam, eb, ebm, a0, a1, b0, b1, ma, ha, mb, hb, th_a, th_b
+
+    def _ee_stage1(self, stem, ma, ha, mb, hb, th_a, th_b, sl, ea, eb, eam,
+                   ebm, extra_mat, ccap):
+        """EE broad phase -> compacted candidate buffer (ca, cb, ccount)."""
+        nb = len(ebm)
+        counts = {}
         if self._use_grid(len(eam), nb):
             allowed_fn = self._ee_allowed_fn(stem, ea, eb, eam, ebm, extra_mat)
             ca, cb, ccount, gc = self._grid_stage1(
                 "g_" + stem, ma, ha + th_a + sl, mb, hb + th_b, allowed_fn, ccap)
             counts.update(gc)
         else:
-            # stage 1: midpoint/half-length sphere bound, conservative since
+            # midpoint/half-length sphere bound, conservative since
             # d(ea,eb) >= |ma-mb| - la/2 - lb/2 (dhat as separable broadcast,
             # see _th_vec)
+            excl = {"ee_dd": self.ee_dd_excl, "ee_rr": self.ee_rr_excl}.get(stem)
+            if excl is None:
+                excl = np.zeros((len(eam), nb), dtype=bool)
             allowed = jnp.asarray(self.enabled_mat[np.ix_(eam, ebm)] & ~excl)
             if extra_mat is not None:
                 allowed = allowed & (self._lift_mesh_pair(extra_mat, eam, ebm) != 0.0)
@@ -580,7 +629,14 @@ class ContactEngine:
             cidx, ccount = compact_indices(pre.ravel(), ccap)
             ca = cidx // nb
             cb = cidx % nb
+        return ca, cb, ccount, counts
 
+    def _ee_stage2(self, stem, a0, a1, b0, b1, th_a, th_b, cands, sl, cap,
+                   pfx="", with_live=False):
+        """Exact IPC edge-edge distances over a candidate buffer, filtered
+        to d <= dhat + sl and compacted to the pair capacity."""
+        ca, cb, ccount = cands
+        ccap = ca.shape[0]
         ptol = self.model.edge_edge_cross_norm_sq_cutoff
         d_c = jax.vmap(lambda x0, x1, y0, y1: nph.edge_edge_distance(
             x0, x1, y0, y1, parallel_tol=ptol))(a0[ca], a1[ca], b0[cb], b1[cb])
@@ -589,12 +645,11 @@ class ContactEngine:
         valid = in_range & (d_c <= dhat_c + sl)
         sel, count = compact_indices(valid, cap)
         active = jnp.arange(cap) < count
-        counts[pfx + stem] = count
-        counts[("cf_" if extra_mat is not None else "c_") + stem] = ccount
-        if slack is not None:
+        counts = {pfx + stem: count}
+        if with_live:
             counts["n_live_" + stem] = jnp.sum(
                 (in_range & (d_c <= dhat_c)).astype(jnp.int32))
-        return ca[sel], cb[sel], active, d_c[sel], counts, dhat_c[sel]
+        return ca[sel], cb[sel], active, d_c[sel], dhat_c[sel], counts
 
     # ------------------------------------------------------------------
     # family data builders (traced)
@@ -696,49 +751,87 @@ class ContactEngine:
         return out, counts
 
     # ------------------------------------------------------------------
-    # per-solve frozen candidate tables (fused path; see fused.py)
+    # twin-range frozen candidate tables (fused path; see fused.py)
+    #
+    # BROAD shell (expensive: grids, sorts, big compactions): candidate
+    # index buffers within a large slack_b margin, plus the intersection
+    # candidate buffers. Rebuilt rarely (motion > 0.45*slack_b).
+    # PAIR shell (cheap: exact distances over the candidate buffers + small
+    # compactions): the actual energy pair tables within a small slack_p
+    # margin. Rebuilt whenever motion exceeds its budget — every iteration
+    # during fast motion, never at rest.
     # ------------------------------------------------------------------
-    def candidates_fn(self, Vs, Vr, th, slack):
-        """One-shot candidate build for the frozen-topology Newton solve:
-        contact pair tables out to d <= dhat + slack plus intersection
-        candidate buffers with the same margin. Returns
-        (contact_data, isect_cands, counts). Every sort/compaction of the
-        collision pipeline lives here — the Newton loop proper re-derives
-        distances from trial DOFs inside the energies (which clamp at dhat)
-        and runs only exact segment-triangle tests over the frozen buffers,
-        so this is the ONLY expensive collision call site, executed via
-        lax.cond when the accumulated motion exceeds the slack budget."""
-        out = {}
+    def broad_fn(self, Vs, Vr, th, slack_b):
+        """Broad-shell build: per-block candidate buffers {stem: (cq, ct,
+        ccount)} + intersection candidates + counts."""
+        cands = {}
         counts = {}
         for stem in self._blocks():
+            ccap = self._cap("c_" + stem)
+            sl = jnp.asarray(slack_b, self.dtype)
             if stem.startswith("pt"):
-                p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(
-                    stem, Vs, Vr, th, slack=slack)
-                out["contact_" + stem] = self._pt_family_data(
-                    stem, p_idx, t_idx, active, dh)
+                P, pm, tri, tm, t0, t1, t2, c, r, th_p, th_t = self._pt_geom(
+                    stem, Vs, Vr, th)
+                cq, ct, ccount, c1 = self._pt_stage1(
+                    stem, P, c, r, th_p, th_t, sl, tri, pm, tm, None, ccap)
             else:
-                a_idx, b_idx, active, d, cnts, dh = self._ee_pairs(
-                    stem, Vs, Vr, th, slack=slack)
-                out["contact_" + stem] = self._ee_family_data(
-                    stem, a_idx, b_idx, active, dh)
-            counts.update(cnts)
+                (ea, eam, eb, ebm, a0, a1, b0, b1, ma, ha, mb, hb,
+                 th_a, th_b) = self._ee_geom(stem, Vs, Vr, th)
+                cq, ct, ccount, c1 = self._ee_stage1(
+                    stem, ma, ha, mb, hb, th_a, th_b, sl, ea, eb, eam, ebm,
+                    None, ccap)
+            cands[stem] = (cq, ct, ccount)
+            counts.update(c1)
+            counts["c_" + stem] = ccount
         if self.model.global_params.intersection_test_enabled:
-            icands, icounts = self._isect_stage1(Vs, Vr, slack=slack)
+            icands, icounts = self._isect_stage1(Vs, Vr, slack=slack_b)
             counts.update(icounts)
         else:
             icands = {}
-        return out, icands, counts
+        return cands, icands, counts
 
-    def candidate_count_keys(self):
-        """Exactly the count keys candidates_fn emits (cap keys + n_live_
-        metric keys, which the host must NOT treat as capacities)."""
+    def pairs_fn(self, Vs, Vr, th, bcands, slack_p):
+        """Pair-shell build from frozen broad candidate buffers: exact
+        distances filtered to d <= dhat + slack_p, compacted into the family
+        pair tables the energies consume. No grids, no sorts. Returns
+        (contact_data, counts) with n_live_* live-pair metrics."""
+        out = {}
+        counts = {}
+        sl = jnp.asarray(slack_p, self.dtype)
+        for stem in self._blocks():
+            cap = self._cap(stem)
+            if stem.startswith("pt"):
+                P, pm, tri, tm, t0, t1, t2, c, r, th_p, th_t = self._pt_geom(
+                    stem, Vs, Vr, th)
+                p_idx, t_idx, active, _d, dh, c2 = self._pt_stage2(
+                    stem, P, t0, t1, t2, th_p, th_t, bcands[stem], sl, cap,
+                    with_live=True)
+                out["contact_" + stem] = self._pt_family_data(
+                    stem, p_idx, t_idx, active, dh)
+            else:
+                (ea, eam, eb, ebm, a0, a1, b0, b1, ma, ha, mb, hb,
+                 th_a, th_b) = self._ee_geom(stem, Vs, Vr, th)
+                a_idx, b_idx, active, _d, dh, c2 = self._ee_stage2(
+                    stem, a0, a1, b0, b1, th_a, th_b, bcands[stem], sl, cap,
+                    with_live=True)
+                out["contact_" + stem] = self._ee_family_data(
+                    stem, a_idx, b_idx, active, dh)
+            counts.update(c2)
+        return out, counts
+
+    def broad_count_keys(self):
+        keys = []
+        for stem in self._blocks():
+            keys += self._stage1_keys(stem)
+        if self.model.global_params.intersection_test_enabled:
+            keys += self.intersect_count_keys()
+        return keys
+
+    def pair_count_keys(self):
         keys = []
         for stem in self._blocks():
             keys.append(stem)
-            keys += self._stage1_keys(stem)
             keys.append("n_live_" + stem)
-        if self.model.global_params.intersection_test_enabled:
-            keys += self.intersect_count_keys()
         return keys
 
     def world_from_u(self, u, state, dt):

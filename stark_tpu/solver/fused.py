@@ -10,30 +10,42 @@ one small scalar vector per step and runs only the rare retry-ladder
 decisions (dt halving, stiffness hardening, converged-state validity),
 exactly the host/device cut SURVEY.md §7 prescribes.
 
-Frozen candidate topology (the TPU analog of a Verlet neighbor list):
-the reference rebuilds contact connectivity at every Newton energy
-evaluation and every Armijo trial (EnergyFrictionalContact.cpp:368-530,
-NewtonsMethod.cpp:594-596) — affordable on CPU, but on TPU each rebuild is
-sort/compaction-bound (~100 ms device time at 32x32-cloth scale, measured).
-Here candidate pair tables are built ONCE with an inflated activation margin
-`slack` (pairs kept out to d <= dhat + slack) and FROZEN across Newton
-iterations; the barrier energies already re-derive the distance from the
-trial DOFs and clamp at dhat, so a superset table evaluates to exactly the
-same energy. The table stays a valid superset while no vertex moves more
-than slack/2 from its build position, enforced by:
+Twin-range frozen candidate topology (the TPU analog of an MD twin-range
+Verlet neighbor list): the reference rebuilds contact connectivity at every
+Newton energy evaluation and every Armijo trial
+(EnergyFrictionalContact.cpp:368-530, NewtonsMethod.cpp:594-596) —
+affordable on CPU, but on TPU each rebuild is sort/compaction-bound
+(~100 ms device time at 32x32-cloth scale, measured). Here the collision
+state is split into two frozen shells, each rebuilt under `lax.cond` only
+when accumulated vertex motion exceeds its margin:
 
-  * a displacement check at the top of every iteration that re-runs the
-    builder under `lax.cond` when the accumulated motion exceeds
-    0.45*slack (and at iteration 0), and
-  * a `[max]` line-search stage (the reference's max_allowed_step hook,
-    NewtonsMethod.cpp:459-641 — unused by stark itself) that clamps the
-    step so one line search cannot overrun the remaining slack budget,
-    flagging a rebuild for the next iteration when it clamps.
+  * BROAD shell (grids/sorts/large compactions — the expensive part):
+    per-block candidate index buffers and intersection candidate buffers
+    within slack_b = 1.35 * dt * du_reach (sized from the previous
+    iteration's exact motion reach, so one Newton iteration's full stride
+    fits). Rebuilt when motion since its build exceeds 0.45*slack_b —
+    typically once per time step (the first iteration carries nearly all of
+    a step's motion; later iterations are small corrections).
+  * PAIR shell (exact distances over the broad buffers + small
+    compactions — cheap): the energy pair tables within a small fixed
+    slack_p ~ dhat. Rebuilt whenever motion exceeds 0.45*slack_p — every
+    iteration during fast motion, never at rest.
 
-The same contract covers the intersection oracle: candidate edge-triangle
-buffers are frozen with the same margin and every validity query (initial
-state, [inv] trials, converged state) runs only the exact vmapped
-segment-triangle tests over them.
+Correctness contract:
+  * Intersection safety is EXACT: the [max] line-search stage (the
+    reference's max_allowed_step hook, unused by stark itself) clamps every
+    step to the remaining broad-slack budget, so the frozen intersection
+    candidates are a superset at every [inv]/initial/converged validity
+    query, which then runs only exact vmapped segment-triangle tests.
+  * Barrier energies re-derive distances from trial DOFs and clamp at
+    dhat, so a pair-table superset evaluates to exactly the same energy.
+    Line-search trial energies may transiently miss a pair that first
+    activates deeper than slack_p/2 into a single trial stride — the same
+    lag class as the reference's frozen friction anchors; the next
+    iteration's pair rebuild sees it and the barrier pushes back, while
+    intersection tests (exact, above) still reject any crossing. Near
+    convergence strides shrink below slack_p/2 and the semantics become
+    exact — accepted states always carry fully-consistent barriers.
 
 Overflow accounting: every capacity-bounded buffer count produced anywhere
 in the solve is max-folded into one int32 vector the host checks after the
@@ -55,8 +67,6 @@ from jax import lax
 
 from . import assembly, project
 from .pcg import solve_pcg
-
-_SQRT3 = 1.7320508075688772
 
 
 def build_fused_solve(nm, engine):
@@ -83,21 +93,19 @@ def build_fused_solve(nm, engine):
     # monitor every capacity-bounded buffer for overflow; n_live_* keys are
     # metrics (live pair counts at build states), skipped by the cap check
     if engine is not None:
-        cand_keys = engine.candidate_count_keys()
+        cand_keys = engine.broad_count_keys() + engine.pair_count_keys()
         r_max = engine.max_rigid_lever()
+        n_soft = engine.n_soft
         isect_on = engine.model.global_params.intersection_test_enabled
     else:
         cand_keys = []
         r_max = 0.0
+        n_soft = n_blocks
         isect_on = False
     count_keys = cand_keys + ["hvp_deg"]
     key_slot = {k: i for i, k in enumerate(count_keys)}
     hvp_deg_slot = key_slot["hvp_deg"]
     n_counts = len(count_keys)
-    # world displacement per unit of du (inf-norm over velocity components):
-    # soft verts move dt*|dv|_2 <= dt*sqrt(3)*du_max; rigid verts add the
-    # angular lever dt*|dw|_2*|r| <= dt*sqrt(3)*du_max*r_max
-    reach_per_du = _SQRT3 * (1.0 + r_max)
 
     def _counts_arr(counts: dict):
         arr = jnp.zeros((n_counts,), jnp.int32)
@@ -113,9 +121,24 @@ def build_fused_solve(nm, engine):
             Vr = jnp.zeros((0, 3), dtype)
         return Vs, Vr
 
+    def du_reach(du):
+        """Exact world-displacement reach per unit line-search step: soft
+        vertices move dt*|du_v|_2; rigid vertices add the angular lever
+        |du_w|_2 * r_max (chord length 2 sin(phi/2)|r| <= phi |r|)."""
+        m = jnp.zeros((), du.dtype)
+        if n_soft > 0:
+            m = jnp.sqrt(jnp.max(jnp.sum(du[:n_soft] ** 2, -1)))
+        if n_blocks > n_soft:
+            rw = du[n_soft:].reshape(-1, 2, 3)
+            mv = jnp.sqrt(jnp.sum(rw[:, 0] ** 2, -1))
+            mw = jnp.sqrt(jnp.sum(rw[:, 1] ** 2, -1))
+            m = jnp.maximum(m, jnp.max(mv + mw * r_max))
+        return m
+
     def fused_solve(u0, static_data, friction_data, glob, eng_state, th_vec, params):
         dt = glob["dt"]
         ftype = u0.dtype
+        slack_p = params["slack_pair"]
 
         def full_data(tables):
             data = dict(static_data)
@@ -123,28 +146,47 @@ def build_fused_solve(nm, engine):
             data.update(friction_data)
             return data
 
-        def build_tables(u, du_ref):
-            """The one expensive collision call site: contact pair tables +
-            intersection candidates with margin slack, plus the consolidated
-            CG connectivity/scatter-table over the full family set."""
+        def disp_from(V_pair, Vs, Vr):
+            Vs_b, Vr_b = V_pair
+            d2 = jnp.concatenate([
+                jnp.sum((Vs - Vs_b) ** 2, -1),
+                jnp.sum((Vr - Vr_b) ** 2, -1)])
+            return jnp.sqrt(jnp.maximum(jnp.max(d2) if d2.shape[0] else 0.0, 0.0))
+
+        def broad_build(u, du_ref):
+            """The expensive collision call site: broad candidate buffers +
+            intersection candidates within slack_b."""
+            Vs, Vr = _world(u, eng_state, dt, ftype)
+            # factor 2.5 so the [max] budget 0.45*slack covers a full
+            # stride (needs slack >= 2.22*dt*du) with ~12% headroom; clamped
+            # so the static candidate capacities can be sized for the
+            # worst-case radius — past slack_broad_max the [max] stage
+            # clamps the stride instead (extra Newton iterations, never
+            # missed candidates)
+            slack_b = jnp.clip(
+                2.5 * dt * jnp.maximum(du_ref, params["du_floor"]),
+                params["slack_broad_min"], params["slack_broad_max"])
+            bcands, icands, counts = engine.broad_fn(Vs, Vr, th_vec, slack_b)
+            return bcands, icands, (Vs, Vr), slack_b, _counts_arr(counts)
+
+        def pair_build(u, bcands):
+            """The cheap pair-shell build: exact distances over the frozen
+            broad buffers + the consolidated CG connectivity/scatter-table
+            (conn frozen between pair rebuilds)."""
             if engine is not None:
                 Vs, Vr = _world(u, eng_state, dt, ftype)
-                slack = jnp.maximum(
-                    params["slack_min"],
-                    2.5 * dt * reach_per_du * jnp.maximum(du_ref, params["du_floor"]))
-                tables, icands, counts = engine.candidates_fn(Vs, Vr, th_vec, slack)
+                tables, counts = engine.pairs_fn(Vs, Vr, th_vec, bcands, slack_p)
                 carr = _counts_arr(counts)
             else:
                 Vs = jnp.zeros((0, 3), ftype)
                 Vr = jnp.zeros((0, 3), ftype)
-                slack = jnp.asarray(jnp.inf, ftype)
-                tables, icands = {}, {}
+                tables = {}
                 carr = jnp.zeros((n_counts,), jnp.int32)
             conn_cat = ev.bucket_conn(full_data(tables))
             rows = ev.scatter_rows(conn_cat)
             entry, max_deg = ev.scatter_table_rows(rows, hvp_K)
             carr = carr.at[hvp_deg_slot].max(max_deg.astype(jnp.int32))
-            return tables, icands, conn_cat, entry, Vs, Vr, slack, carr
+            return tables, conn_cat, entry, (Vs, Vr), carr
 
         def isect_hit(u, icands):
             """Exact intersection tests over the frozen candidates."""
@@ -154,10 +196,17 @@ def build_fused_solve(nm, engine):
             return engine._isect_exact(Vs, Vr, icands)
 
         # zero-valued initial pytrees with the build shapes (filled by the
-        # iteration-0 rebuild inside the loop)
-        shapes = jax.eval_shape(build_tables, u0, jnp.zeros((), ftype))
-        tables0, icands0, conn0, entry0, Vs0, Vr0, _sl, _c = jax.tree_util.tree_map(
-            lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes)
+        # iteration-0 rebuilds inside the loop)
+        if engine is not None:
+            b_sh = jax.eval_shape(broad_build, u0, jnp.zeros((), ftype))
+            bcands0, icands0, Vb0, _s, _c = jax.tree_util.tree_map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), b_sh)
+        else:
+            bcands0, icands0 = {}, {}
+            Vb0 = (jnp.zeros((0, 3), ftype), jnp.zeros((0, 3), ftype))
+        p_sh = jax.eval_shape(pair_build, u0, bcands0)
+        tables0, conn0, entry0, Vp0, _c = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), p_sh)
 
         class Carry(NamedTuple):
             u: jnp.ndarray
@@ -176,13 +225,14 @@ def build_fused_solve(nm, engine):
             E0: jnp.ndarray
             stall: jnp.ndarray
             counts_max: jnp.ndarray
-            tables: dict
+            bcands: dict
             icands: dict
+            Vb: tuple
+            slack_b: jnp.ndarray
+            tables: dict
             conn_cat: dict
             entry: jnp.ndarray
-            Vs_b: jnp.ndarray
-            Vr_b: jnp.ndarray
-            slack: jnp.ndarray
+            Vp: tuple
             du_prev: jnp.ndarray
             force_rb: jnp.ndarray
 
@@ -192,28 +242,35 @@ def build_fused_solve(nm, engine):
         def body(c: Carry):
             u = c.u
 
-            # ---- candidate-table validity guard + conditional rebuild ----
+            # ---- shell validity guards + conditional rebuilds ----
             if engine is not None:
                 Vs, Vr = _world(u, eng_state, dt, ftype)
-                d2 = jnp.concatenate([
-                    jnp.sum((Vs - c.Vs_b) ** 2, -1),
-                    jnp.sum((Vr - c.Vr_b) ** 2, -1)])
-                disp = jnp.sqrt(jnp.maximum(jnp.max(d2) if d2.shape[0] else 0.0, 0.0))
+                disp_b = disp_from(c.Vb, Vs, Vr)
+                disp_p = disp_from(c.Vp, Vs, Vr)
             else:
-                disp = jnp.zeros((), ftype)
-            need = (c.it == 0) | c.force_rb | (disp > 0.45 * c.slack)
+                disp_b = disp_p = jnp.zeros((), ftype)
+            need_b = (c.it == 0) | c.force_rb | (disp_b > 0.45 * c.slack_b)
 
-            def do_rebuild(_):
-                return build_tables(u, c.du_prev)
+            if engine is not None:
+                bcands, icands, Vb, slack_b, carr_b = lax.cond(
+                    need_b,
+                    lambda _: broad_build(u, c.du_prev),
+                    lambda _: (c.bcands, c.icands, c.Vb, c.slack_b,
+                               c.counts_max),
+                    operand=None)
+            else:
+                bcands, icands, Vb, slack_b = c.bcands, c.icands, c.Vb, c.slack_b
+                carr_b = c.counts_max
+            counts_max = jnp.maximum(c.counts_max, carr_b)
+            disp_b = jnp.where(need_b, 0.0, disp_b)
 
-            def keep(_):
-                return (c.tables, c.icands, c.conn_cat, c.entry,
-                        c.Vs_b, c.Vr_b, c.slack, c.counts_max)
-
-            tables, icands, conn_cat, entry, Vs_b, Vr_b, slack, carr = lax.cond(
-                need, do_rebuild, keep, operand=None)
-            counts_max = jnp.maximum(c.counts_max, carr)
-            disp = jnp.where(need, 0.0, disp)
+            need_p = need_b | (disp_p > 0.45 * slack_p)
+            tables, conn_cat, entry, Vp, carr_p = lax.cond(
+                need_p,
+                lambda _: pair_build(u, bcands),
+                lambda _: (c.tables, c.conn_cat, c.entry, c.Vp, counts_max),
+                operand=None)
+            counts_max = jnp.maximum(counts_max, carr_p)
 
             # initial-state validity (reference: before the loop,
             # NewtonsMethod.cpp:28-40); here at it==0 over fresh candidates
@@ -252,7 +309,7 @@ def build_fused_solve(nm, engine):
 
             # BDPCG with forcing sequence (NewtonsMethod.cpp:423) over the
             # two-bucket consolidated layout: the scatter table is frozen
-            # with the candidate topology, only the element Hessians are
+            # with the pair topology, only the element Hessians are
             # re-consolidated per iteration
             forcing = jnp.minimum(1e-2, res * jnp.minimum(0.5, jnp.sqrt(res)))
             abs_tol = jnp.maximum(forcing, params["cg_abs_tolerance"])
@@ -266,6 +323,7 @@ def build_fused_solve(nm, engine):
             du = cg.x
             dug = jnp.vdot(du, grad)
             du_max = jnp.max(jnp.abs(du))
+            reach_du = du_reach(du)
             step_conv = past_min & (du_max < params["step_tolerance"])
             # Newton-decrement convergence at the precision noise floor
             dec_conv = jnp.abs(dug) < 4.0 * noise
@@ -278,10 +336,12 @@ def build_fused_solve(nm, engine):
             retraction = jnp.where(capped, params["step_cap"] / jnp.maximum(du_max, 1e-30), 1.0)
 
             # [max]: clamp the step so the line search cannot overrun the
-            # frozen-candidate slack budget (0.45*slack - disp left); when it
-            # clamps, flag a rebuild so the next iteration restores stride
-            reach = dt * reach_per_du * du_max * retraction
-            budget = jnp.maximum(0.45 * slack - disp, 0.0)
+            # broad-shell slack budget (intersection-candidate validity is
+            # exact); when it clamps, flag a broad rebuild so the next
+            # iteration restores full stride
+            reach = dt * reach_du * retraction
+            budget = jnp.maximum(0.45 * slack_b - disp_b, 0.0) \
+                if engine is not None else jnp.asarray(jnp.inf, ftype)
             max_step = jnp.where(reach > budget,
                                  budget / jnp.maximum(reach, 1e-30), 1.0)
             maxed = max_step < 1.0
@@ -363,9 +423,9 @@ def build_fused_solve(nm, engine):
                 n_proj=c.n_proj + n_proj.astype(jnp.int32),
                 n_hess=c.n_hess + n_hess.astype(jnp.int32),
                 res=res, E0=E0, stall=stall, counts_max=counts_max,
-                tables=tables, icands=icands, conn_cat=conn_cat, entry=entry,
-                Vs_b=Vs_b, Vr_b=Vr_b, slack=slack,
-                du_prev=du_max, force_rb=force_rb,
+                bcands=bcands, icands=icands, Vb=Vb, slack_b=slack_b,
+                tables=tables, conn_cat=conn_cat, entry=entry, Vp=Vp,
+                du_prev=reach_du, force_rb=force_rb,
             )
 
         z32 = jnp.zeros((), jnp.int32)
@@ -376,8 +436,8 @@ def build_fused_solve(nm, engine):
                      ls_inv=z32, ls_bt=z32,
                      n_proj=z32, n_hess=z32, res=zf, E0=jnp.zeros((), jnp.float64),
                      stall=z32, counts_max=jnp.zeros((n_counts,), jnp.int32),
-                     tables=tables0, icands=icands0, conn_cat=conn0,
-                     entry=entry0, Vs_b=Vs0, Vr_b=Vr0, slack=zf,
+                     bcands=bcands0, icands=icands0, Vb=Vb0, slack_b=zf,
+                     tables=tables0, conn_cat=conn0, entry=entry0, Vp=Vp0,
                      du_prev=params["du_prior"].astype(ftype),
                      force_rb=jnp.zeros((), bool))
         final = lax.while_loop(cond, body, init)

@@ -216,12 +216,19 @@ class NewtonsMethod:
         if engine is not None:
             eng_state = engine.engine_state()
             dhat = engine._th_vec()
-            slack_min = 2.0 * float(np.max(np.asarray(
+            # pair slack ~ one dhat; broad slack floor covers a couple of
+            # pair shells even at rest
+            dhat_max = 2.0 * float(np.max(np.asarray(
                 engine.model.contact_thicknesses)))
+            slack_pair = dhat_max
+            slack_broad_min = 4.0 * dhat_max
+            slack_broad_max = 16.0 * dhat_max
         else:
             eng_state = {}
             dhat = jnp.zeros((0, 0), dtype)
-            slack_min = 0.0
+            slack_pair = 1.0
+            slack_broad_min = 1.0
+            slack_broad_max = 1.0
         params = {
             "max_iterations": jnp.asarray(min(s.max_iterations, 2**31 - 1), jnp.int32),
             "min_iterations": jnp.asarray(s.min_iterations, jnp.int32),
@@ -232,10 +239,13 @@ class NewtonsMethod:
             "step_cap": jnp.asarray(min(s.step_cap, np.finfo(np.float32).max), dtype),
             "cg_abs_tolerance": jnp.asarray(s.cg_abs_tolerance, dtype),
             "cg_rel_tolerance": jnp.asarray(s.cg_rel_tolerance, dtype),
-            # frozen-candidate slack controls (fused.py): slack_min covers
-            # near-rest steps, du_prior seeds iteration 0's motion estimate
-            # from the last accepted solve, du_floor guards the degenerate 0
-            "slack_min": jnp.asarray(slack_min, dtype),
+            # twin-range slack controls (fused.py): slack_pair bounds the
+            # pair-shell margin, slack_broad_min covers near-rest steps,
+            # du_prior seeds iteration 0's motion-reach estimate from the
+            # last accepted solve, du_floor guards the degenerate 0
+            "slack_pair": jnp.asarray(slack_pair, dtype),
+            "slack_broad_min": jnp.asarray(slack_broad_min, dtype),
+            "slack_broad_max": jnp.asarray(slack_broad_max, dtype),
             "du_prior": jnp.asarray(self._du_prior, dtype),
             "du_floor": jnp.asarray(1e-4, dtype),
         }

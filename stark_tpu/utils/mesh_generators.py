@@ -16,25 +16,32 @@ from .mesh_utils import clean_triangle_mesh
 
 
 def generate_triangle_grid(center, dimensions, n_quads_per_dim, z: float = 0.0):
-    """Regular triangulated rectangle in the XY plane (mesh_generators.cpp:100-167)."""
+    """Regular triangulated rectangle in the XY plane, bit-exact replica of
+    the reference generator (mesh_generators.cpp:100-167): y-fastest vertex
+    order (idx = ny*i + j), per-quad diagonal alternated by ei%2 == ej%2 —
+    identical ordering and topology are required by the golden-trajectory
+    parity tests (tests/test_trajectory_parity.py compares BY INDEX)."""
     cx, cy = center
     dx, dy = dimensions
-    nx, ny = n_quads_per_dim
-    xs = np.linspace(cx - dx / 2, cx + dx / 2, nx + 1)
-    ys = np.linspace(cy - dy / 2, cy + dy / 2, ny + 1)
-    V = np.array([[x, y, z] for y in ys for x in xs])
+    nqx, nqy = n_quads_per_dim
+    nx, ny = nqx + 1, nqy + 1
+    bx, by = cx - dx / 2.0, cy - dy / 2.0
+    sx, sy = dx / nqx, dy / nqy
+    V = np.empty((nx * ny, 3), dtype=np.float64)
+    for i in range(nx):
+        for j in range(ny):
+            V[ny * i + j] = (bx + i * sx, by + j * sy, z)
     tris = []
-    for j in range(ny):
-        for i in range(nx):
-            a = j * (nx + 1) + i
-            b = a + 1
-            c = a + (nx + 1)
-            d = c + 1
-            # alternate diagonals for isotropy
-            if (i + j) % 2 == 0:
-                tris += [[a, b, d], [a, d, c]]
+    for ei in range(nqx):
+        for ej in range(nqy):
+            n0 = ny * ei + ej
+            n1 = ny * ei + ej + 1
+            n2 = ny * (ei + 1) + ej
+            n3 = ny * (ei + 1) + ej + 1
+            if ei % 2 == ej % 2:
+                tris += [[n0, n2, n3], [n0, n3, n1]]
             else:
-                tris += [[a, b, c], [b, d, c]]
+                tris += [[n0, n2, n1], [n2, n3, n1]]
     return V, np.asarray(tris, dtype=np.int64)
 
 

@@ -29,9 +29,13 @@ def main():
     def counting_build(self):
         retraces[0] += 1
         t0 = time.perf_counter()
+        eng = self.get_engine() if self.get_engine is not None else None
+        caps = dict(eng._caps) if eng is not None else {}
+        print(f"  [diag] _build_fused #{retraces[0]} hvp_K={self._hvp_K} "
+              f"caps={caps}", flush=True)
         r = orig_build(self)
-        print(f"  [diag] _build_fused #{retraces[0]} ({time.perf_counter()-t0:.2f}s host-side)",
-              flush=True)
+        print(f"  [diag] _build_fused #{retraces[0]} done "
+              f"({time.perf_counter()-t0:.2f}s host-side)", flush=True)
         return r
 
     newton_mod.NewtonsMethod._build_fused = counting_build
