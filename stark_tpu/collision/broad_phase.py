@@ -120,9 +120,12 @@ def grid_candidates(qc, qr, tc, tr, h, ins_slots: int, occ_cap: int,
 
 
 def pick_cell_size(qr, tr):
-    """Heuristic cell size: ~2x the typical inflated target radius. Small
-    relative to outlier targets (they insert into more cells — bounded by
-    ins_slots) and large enough that typical targets cover ~1-8 cells."""
+    """Heuristic cell size ~ the typical inflated pair radius R. The
+    query-side bucket occupancy scales as rho*(h + 2R)^2 on flat dense
+    meshes (each target covers ((2R/h)+1)^3 cells), so SMALLER cells cut
+    occupancy — the expensive axis (it sizes the per-query scan buffers) —
+    at the cost of more insertion slots, which are cheap (bounded by
+    ins_slots): h = R gives ~9*rho*R^2 occupancy at ~27 cells/target."""
     med_t = jnp.median(tr)
     med_q = jnp.median(qr) if qr.shape[0] else jnp.zeros((), tr.dtype)
-    return 2.0 * (med_t + med_q) + 1e-12
+    return (med_t + med_q) + 1e-12

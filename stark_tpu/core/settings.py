@@ -142,6 +142,12 @@ class DeviceSettings:
     # PD-projection eigensolver: None = auto (exact eigh on CPU, 8-sweep
     # batched cyclic Jacobi on accelerators), 0 = exact eigh, N = N sweeps
     jacobi_sweeps: int = None
+    # multi-host topology (parallel/distributed.py): set coordinator_address
+    # ("host:port") + num_processes + process_id on every process to span a
+    # jax.distributed mesh across hosts; None = env/single-process default
+    coordinator_address: str = None
+    num_processes: int = 1
+    process_id: int = 0
 
 
 @dataclass

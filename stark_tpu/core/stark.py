@@ -28,6 +28,15 @@ from .settings import Settings, Verbosity
 class Stark:
     def __init__(self, settings: Settings):
         self.settings = settings
+        # multi-host: join the jax.distributed coordination service before
+        # any backend use (parallel/distributed.py; no-op single-process)
+        if settings.device.num_processes > 1:
+            from ..parallel import distributed as _dist
+
+            _dist.initialize(_dist.DistributedConfig(
+                coordinator_address=settings.device.coordinator_address,
+                num_processes=settings.device.num_processes,
+                process_id=settings.device.process_id))
         # fill dtype-derived tolerance defaults (None fields)
         settings.newton.resolve_for_dtype(settings.device.dtype)
         out = settings.output

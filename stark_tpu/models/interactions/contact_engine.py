@@ -34,8 +34,12 @@ from ...collision import narrow_phase as nph
 from ...ops.compaction import compact_indices
 
 # dense-pair threshold: blocks with more candidate pairs than this use the
-# spatial-hash broad phase (O(N*k)) instead of the dense masked grid (O(N^2))
-GRID_PAIR_THRESHOLD = 1 << 21
+# spatial-hash broad phase (O(N*k)) instead of the dense masked grid (O(N^2)).
+# TPU-first calibration: the dense mask is pure fused vector math (~30 flops/
+# pair at ~3 TFLOP/s elementwise) while the hash grid is argsort-bound (XLA
+# TPU sorts measured ~10-30 ms at 200k int keys), so brute force wins up to
+# ~10^8 pairs on v5e; the grid takes over for truly large scenes.
+GRID_PAIR_THRESHOLD = 1 << 27
 
 
 def _dedup_mask(mesh_a, idx_a, mesh_b, idx_b):
@@ -291,9 +295,10 @@ class ContactEngine:
             if name.startswith("g_"):
                 # spatial-hash structural caps: per-target insertion slots /
                 # per-query bucket-scan length (the latter must absorb the
-                # broad-shell slack radius: ~hundreds of targets per cell on
-                # a dense flat mesh)
-                h = 32 if name.endswith("_ins") else 512
+                # broad-shell slack radius: ~1-2k targets per bucket measured
+                # on the 32x32 flat-cloth bench; h ~ R puts ~27-40 cells per
+                # target)
+                h = 64 if name.endswith("_ins") else 2048
             elif name.startswith("cf_"):
                 # friction candidate buffers (no slack margin) size from the
                 # f_ pair cap. NOTE: check cf_ BEFORE c_ ('cf_x'.startswith

@@ -51,15 +51,20 @@ def compact_indices(flat_mask, cap: int):
     `jnp.nonzero(flat, size=cap, fill_value=0)`. Returns (idx, count) where
     `count` is the TOTAL number of true entries (may exceed cap: overflow
     must be detected by the caller, mirroring the capacity-bump retry of the
-    reference's growing pair arrays)."""
+    reference's growing pair arrays).
+
+    The gather step is a vectorized binary search over the inclusive scan
+    (the j-th true element is the first position where it reaches j+1) —
+    an XLA scatter here would serialize ~1 update/cycle over the full
+    (possibly tens-of-millions-entry) mask, dominating the entire broad
+    phase; cap binary-search gathers are ~log2(n) fused passes instead."""
     n = flat_mask.size
     if n == 0:
         return jnp.zeros((cap,), jnp.int32), jnp.zeros((), jnp.int32)
     m = flat_mask.astype(jnp.int32)
-    rank = exclusive_scan(m)
-    # rank of each true element among all true elements; false/overflowing
-    # elements target slot `cap` and are dropped by the scatter
-    tgt = jnp.where(flat_mask, rank, cap).astype(jnp.int32)
-    idx = jnp.zeros((cap,), jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    return idx, jnp.sum(m)
+    incl = exclusive_scan(m) + m
+    j = jnp.arange(cap, dtype=jnp.int32)
+    pos = jnp.searchsorted(incl, j + 1, side="left").astype(jnp.int32)
+    count = incl[-1]
+    idx = jnp.where(j < jnp.minimum(count, cap), jnp.clip(pos, 0, n - 1), 0)
+    return idx, count

@@ -287,8 +287,22 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         parts = [conn_cat[b].reshape(-1) for b in _BUCKETS if b in conn_cat]
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    def scatter_table_rows(rows, K: int):
-        """Gather table over a flat block-row vector (see scatter_table)."""
+    def scatter_table_rows(rows, K: int, hot_cap: int, K2: int):
+        """Two-level gather table over a flat block-row vector.
+
+        Level 1: (n_blocks, K) — the first K row slots of every block; the
+        per-CG-iteration reduction gathers n_blocks*K elements, so K must
+        stay SMALL (TPU gathers run ~1 element/cycle; K=1024 measured
+        3 ms/CG-iter vs ~0.4 ms at K=128).
+        Level 2: a (hot_cap, K2) side table for the few HOT blocks whose
+        degree exceeds K — rigid-body v/w blocks concentrate one row per
+        rb-involving contact pair, reaching hundreds while every other
+        block stays ~O(10).
+
+        Returns (entry, hot_ids, hot_entry, hot_n, max_deg); max_deg > K+K2
+        or hot_n > hot_cap signal overflow (host bumps + re-traces)."""
+        from ..ops.compaction import compact_indices
+
         R = rows.shape[0]
         order = jnp.argsort(rows)
         rows_sorted = rows[order]
@@ -299,11 +313,19 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         pos = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
         valid = jnp.arange(K, dtype=jnp.int32)[None, :] < lens[:, None]
         entry = jnp.where(valid, order[jnp.clip(pos, 0, R - 1)], R)
-        return entry, jnp.max(lens)
+        # hot side table
+        hot_idx, hot_n = compact_indices(lens > K, hot_cap)
+        hot_valid = jnp.arange(hot_cap) < jnp.minimum(hot_n, hot_cap)
+        pos2 = starts[hot_idx][:, None] + K + jnp.arange(K2, dtype=jnp.int32)[None, :]
+        valid2 = hot_valid[:, None] & (
+            jnp.arange(K2, dtype=jnp.int32)[None, :] < (lens[hot_idx] - K)[:, None])
+        hot_entry = jnp.where(valid2, order[jnp.clip(pos2, 0, R - 1)], R)
+        return entry, hot_idx, hot_entry, hot_n, jnp.max(lens)
 
-    def hvp_bucket(p, conn_cat, H_cat, entry):
+    def hvp_bucket(p, conn_cat, H_cat, table):
         """q = H p over the consolidated two-bucket layout: 2 gathers +
-        2 batched matvecs + 1 gather-table reduction per call."""
+        2 batched matvecs + the two-level gather-table reduction."""
+        entry, hot_idx, hot_entry, _hot_n, _ = table
         p_pad = jnp.concatenate([p, jnp.zeros((1, 3), p.dtype)])
         qs = []
         for b in _BUCKETS:
@@ -314,7 +336,10 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             qs.append(q_e.reshape(-1, 3))
         q_flat = jnp.concatenate(qs) if len(qs) > 1 else qs[0]
         q_pad = jnp.concatenate([q_flat, jnp.zeros((1, 3), q_flat.dtype)])
-        return jnp.sum(q_pad[entry], axis=1)
+        q = jnp.sum(q_pad[entry], axis=1)
+        hot_part = jnp.sum(q_pad[hot_entry], axis=1)
+        return q.at[jnp.clip(hot_idx, 0, n_blocks - 1)].add(
+            hot_part, mode="drop")
 
     def diag_bucket(conn_cat, H_cat):
         """3x3 diagonal blocks over the consolidated layout. Dummy rows

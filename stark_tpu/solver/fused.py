@@ -102,10 +102,13 @@ def build_fused_solve(nm, engine):
         r_max = 0.0
         n_soft = n_blocks
         isect_on = False
-    count_keys = cand_keys + ["hvp_deg"]
+    count_keys = cand_keys + ["hvp_deg", "hvp_hot"]
     key_slot = {k: i for i, k in enumerate(count_keys)}
     hvp_deg_slot = key_slot["hvp_deg"]
+    hvp_hot_slot = key_slot["hvp_hot"]
     n_counts = len(count_keys)
+    hvp_K2 = nm._hvp_K2
+    hvp_hot = nm._hvp_hot
 
     def _counts_arr(counts: dict):
         arr = jnp.zeros((n_counts,), jnp.int32)
@@ -184,9 +187,10 @@ def build_fused_solve(nm, engine):
                 carr = jnp.zeros((n_counts,), jnp.int32)
             conn_cat = ev.bucket_conn(full_data(tables))
             rows = ev.scatter_rows(conn_cat)
-            entry, max_deg = ev.scatter_table_rows(rows, hvp_K)
-            carr = carr.at[hvp_deg_slot].max(max_deg.astype(jnp.int32))
-            return tables, conn_cat, entry, (Vs, Vr), carr
+            table = ev.scatter_table_rows(rows, hvp_K, hvp_hot, hvp_K2)
+            carr = carr.at[hvp_deg_slot].max(table[4].astype(jnp.int32))
+            carr = carr.at[hvp_hot_slot].max(table[3].astype(jnp.int32))
+            return tables, conn_cat, table, (Vs, Vr), carr
 
         def isect_hit(u, icands):
             """Exact intersection tests over the frozen candidates."""
@@ -231,7 +235,7 @@ def build_fused_solve(nm, engine):
             slack_b: jnp.ndarray
             tables: dict
             conn_cat: dict
-            entry: jnp.ndarray
+            entry: tuple      # two-level gather table (see scatter_table_rows)
             Vp: tuple
             du_prev: jnp.ndarray
             force_rb: jnp.ndarray

@@ -100,9 +100,19 @@ class NewtonsMethod:
         self.stats = SolveStats()
         self._fused_jit = None
         self._fused_count_keys = []
-        # capacity (max rows per DOF block) of the CG gather-scatter table;
-        # doubled on overflow like the engine's pair caps
+        # two-level CG gather table capacities (assembly.scatter_table_rows):
+        # K fixed small (per-CG-iteration gather cost is n_blocks*K); hot
+        # blocks (degree > K — rigid v/w blocks under contact) spill into a
+        # (_hvp_hot, _hvp_K2) side table, both doubled on overflow.
         self._hvp_K = 128
+        self._hvp_K2 = 256
+        self._hvp_hot = 8
+        if get_engine is not None and get_engine() is not None:
+            eng = get_engine()
+            if len(eng.rv_body):
+                # every rb-involving pair row lands on the same v/w blocks
+                self._hvp_K2 = 4096
+                self._hvp_hot = max(8, 4 * len(np.unique(eng.rv_body)))
         # motion prior (max |du| of the last accepted solve) seeding the
         # frozen-candidate slack at iteration 0 (fused.py)
         self._du_prior = 1.0
@@ -222,7 +232,7 @@ class NewtonsMethod:
                 engine.model.contact_thicknesses)))
             slack_pair = dhat_max
             slack_broad_min = 4.0 * dhat_max
-            slack_broad_max = 16.0 * dhat_max
+            slack_broad_max = 8.0 * dhat_max
         else:
             eng_state = {}
             dhat = jnp.zeros((0, 0), dtype)
@@ -262,11 +272,18 @@ class NewtonsMethod:
                 keys = self._fused_count_keys
                 if "hvp_deg" in keys:
                     deg = int(counts[keys.index("hvp_deg")])
-                    if deg > self._hvp_K:
-                        while self._hvp_K < deg:
-                            self._hvp_K *= 2
+                    if deg > self._hvp_K + self._hvp_K2:
+                        while self._hvp_K + self._hvp_K2 < deg:
+                            self._hvp_K2 *= 2
                         overflow = True
-                eng_kc = [(k, c) for k, c in zip(keys, counts) if k != "hvp_deg"]
+                if "hvp_hot" in keys:
+                    hot = int(counts[keys.index("hvp_hot")])
+                    if hot > self._hvp_hot:
+                        while self._hvp_hot < hot:
+                            self._hvp_hot *= 2
+                        overflow = True
+                eng_kc = [(k, c) for k, c in zip(keys, counts)
+                          if k not in ("hvp_deg", "hvp_hot")]
                 if engine is not None and eng_kc and engine._check_overflow(
                         [k for k, _ in eng_kc], [c for _, c in eng_kc]):
                     overflow = True
