@@ -81,12 +81,14 @@ class Stark:
         self._init_hooks.append(f)
 
     def connect(self, *, n_blocks_fn, get_dofs, set_dofs, get_glob, get_data,
-                get_static_data=None, get_friction_data=None, get_engine=None):
+                get_static_data=None, get_friction_data=None, get_engine=None,
+                prime_host_dofs=None):
         self._connector = dict(n_blocks_fn=n_blocks_fn, get_dofs=get_dofs,
                                set_dofs=set_dofs, get_glob=get_glob, get_data=get_data,
                                get_static_data=get_static_data,
                                get_friction_data=get_friction_data,
-                               get_engine=get_engine)
+                               get_engine=get_engine,
+                               prime_host_dofs=prime_host_dofs)
 
     # ------------------------------------------------------------------
     def run(self, duration: float = math.inf, callback: Optional[Callable[[], None]] = None) -> bool:
@@ -215,6 +217,7 @@ class Stark:
             get_static_data=c.get("get_static_data"),
             get_friction_data=c.get("get_friction_data"),
             get_engine=c.get("get_engine"),
+            prime_host_dofs=c.get("prime_host_dofs"),
             jacobi_sweeps=self.settings.device.jacobi_sweeps,
         )
         self.newton.diagnostic_dir = self.settings.output.output_directory

@@ -112,11 +112,17 @@ class PointDynamics:
         self._a_host: np.ndarray = np.zeros((0, 3))
         self._f_host: np.ndarray = np.zeros((0, 3))
         self.frozen = False
-        # device state (set at freeze); v1 has a cached host mirror because
-        # device->host pulls are expensive on the remote-relay TPU path
+        # device state (set at freeze); v1/x0/x1 keep cached host mirrors:
+        # on the remote-relay TPU path EVERY device->host pull costs a
+        # ~25 ms round trip AND the first pull permanently degrades all
+        # subsequent dispatches, so the solver primes these mirrors from its
+        # single per-step transfer (prime_host_dofs) instead of re-pulling
         self.X = self.x0 = self.x1 = self.v0 = self.a = self.f = None
         self._v1 = None
         self._host_x1 = None
+        self._host_x0 = None
+        self._host_v1 = None
+        self._host_X = None
 
         stark.callbacks.add_before_time_step(self._before_time_step)
         stark.callbacks.add_on_time_step_accepted(self._on_time_step_accepted)
@@ -152,16 +158,27 @@ class PointDynamics:
         self.v1 = jnp.asarray(self._v1_host, dtype)
         self.a = jnp.asarray(self._a_host, dtype)
         self.f = jnp.asarray(self._f_host, dtype)
+        # host mirrors (X is immutable post-freeze; x0 rolls on accept)
+        self._host_X = np.array(self._X_host)
+        self._host_x0 = np.array(self._x0_host)
 
     # -- host accessors (work pre- and post-freeze) --
     def host_x_all(self) -> np.ndarray:
-        return np.asarray(self.x0) if self.frozen else self._x0_host
+        if not self.frozen:
+            return self._x0_host
+        if self._host_x0 is None:
+            self._host_x0 = np.asarray(self.x0)
+        return self._host_x0
 
     def host_x(self, i: int) -> np.ndarray:
         return self.host_x_all()[i]
 
     def host_X(self) -> np.ndarray:
-        return np.asarray(self.X) if self.frozen else self._X_host
+        if not self.frozen:
+            return self._X_host
+        if self._host_X is None:
+            self._host_X = np.asarray(self.X)
+        return self._host_X
 
     @property
     def v1(self):
@@ -171,15 +188,31 @@ class PointDynamics:
     def v1(self, value):
         self._v1 = value
         self._host_x1 = None
+        self._host_v1 = None
+
+    def prime_host_v1(self, v1_np: np.ndarray):
+        """Feed the v1 host mirror from the solver's single per-step pull
+        (avoids a dedicated device->host round trip in accept/validity
+        paths)."""
+        self._host_v1 = v1_np
+        self._host_x1 = None
+
+    def host_v1(self) -> np.ndarray:
+        if self._v1 is None:
+            return np.zeros((self.n_points, 3))
+        if self._host_v1 is None:
+            self._host_v1 = np.asarray(self._v1)
+        return self._host_v1
 
     def get_x1(self, dt):
         """x1 = x0 + dt*v1 under current trial velocities (device)."""
         return self.x0 + dt * self.v1
 
     def host_x1(self, dt) -> np.ndarray:
-        """Cached host mirror of x1 (one pull per trial state)."""
+        """Cached host mirror of x1, derived from the host mirrors of x0 and
+        v1 (no device pull when the solver has primed v1)."""
         if self._host_x1 is None:
-            self._host_x1 = np.asarray(self.get_x1(dt))
+            self._host_x1 = self.host_x_all() + dt * self.host_v1()
         return self._host_x1
 
     # -- glob contribution for energy functions --
@@ -198,6 +231,10 @@ class PointDynamics:
         if self.n_points == 0:
             return
         dt = self._stark.dt
+        # roll host mirrors first (pure host math from the primed v1 pull)
+        new_host_x0 = self.host_x1(dt) if self._host_v1 is not None else None
         self.x1 = self.x0 + dt * self.v1
         self.x0 = self.x1
         self.v0 = self.v1
+        self._host_x0 = new_host_x0
+        self._host_x1 = None

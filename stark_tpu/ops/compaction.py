@@ -63,8 +63,15 @@ def compact_indices(flat_mask, cap: int):
         return jnp.zeros((cap,), jnp.int32), jnp.zeros((), jnp.int32)
     m = flat_mask.astype(jnp.int32)
     incl = exclusive_scan(m) + m
-    j = jnp.arange(cap, dtype=jnp.int32)
+    # never search for more slots than the mask can hold: the searchsorted
+    # gather cost is proportional to the slot count (each slot runs a
+    # log2(n)-step binary search), and several call sites size `cap` from
+    # worst-case geometry far above the actual mask size
+    k = min(cap, n)
+    j = jnp.arange(k, dtype=jnp.int32)
     pos = jnp.searchsorted(incl, j + 1, side="left").astype(jnp.int32)
     count = incl[-1]
-    idx = jnp.where(j < jnp.minimum(count, cap), jnp.clip(pos, 0, n - 1), 0)
+    idx = jnp.where(j < jnp.minimum(count, k), jnp.clip(pos, 0, n - 1), 0)
+    if k < cap:
+        idx = jnp.pad(idx, (0, cap - k))
     return idx, count

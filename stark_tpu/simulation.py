@@ -82,6 +82,7 @@ class Simulation:
                 and self.interactions.contact.global_params.friction_enabled) else {},
             get_engine=lambda: (self.interactions.contact._engine
                                 if self.interactions.contact.enabled else None),
+            prime_host_dofs=self._prime_host_dofs,
         )
 
     # ------------------------------------------------------------------
@@ -250,3 +251,14 @@ class Simulation:
             rw = u[ns:].reshape(nr, 2, 3)
             self._rb_dyn.v1 = rw[:, 0]
             self._rb_dyn.w1 = rw[:, 1]
+
+    def _prime_host_dofs(self, u_np: np.ndarray):
+        """Feed all host DOF mirrors from the solver's single per-step
+        device->host transfer (newton._solve_fused pulls (u, stats, counts)
+        once; every further pull would cost a ~25 ms relay round trip)."""
+        ns, nr = self._layout.n_soft, self._layout.n_rigid
+        if ns > 0:
+            self._dyn.prime_host_v1(u_np[:ns])
+        if nr > 0:
+            rw = u_np[ns:].reshape(nr, 2, 3)
+            self._rb_dyn.prime_host(rw[:, 0], rw[:, 1])

@@ -287,6 +287,26 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         parts = [conn_cat[b].reshape(-1) for b in _BUCKETS if b in conn_cat]
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
+    # one-hot matmul scatter: rows (R,) -> (n_blocks+1, 3), dropped rows
+    # (value n_blocks) land in the final slice. On the MXU this measured
+    # 0.23 ms at R=98k/N=1100 vs 0.65 ms for XLA scatter-add (segment_sum)
+    # and 0.91 ms for an argsort-built gather table — AND it removes the
+    # per-pair-rebuild argsort (23 ms device at 45k rows on v5e) entirely.
+    # Exact one-hot entries keep the sum deterministic; HIGHEST precision
+    # forces the f32 accumulate path. Cost is O(R * n_blocks), so past a
+    # few thousand blocks segment_sum wins; _scatter_q picks per size.
+    _ONEHOT_MAX_BLOCKS = 4096
+
+    def _scatter_q(rows, q_flat):
+        if n_blocks <= _ONEHOT_MAX_BLOCKS:
+            oh = (rows[:, None] ==
+                  jnp.arange(n_blocks + 1, dtype=rows.dtype)[None, :]
+                  ).astype(q_flat.dtype)
+            q = jax.lax.dot_general(oh, q_flat, (((0,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST)
+            return q[:-1]
+        return jax.ops.segment_sum(q_flat, rows, num_segments=n_blocks + 1)[:-1]
+
     def scatter_table_rows(rows, K: int, hot_cap: int, K2: int):
         """Two-level gather table over a flat block-row vector.
 
@@ -322,10 +342,10 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         hot_entry = jnp.where(valid2, order[jnp.clip(pos2, 0, R - 1)], R)
         return entry, hot_idx, hot_entry, hot_n, jnp.max(lens)
 
-    def hvp_bucket(p, conn_cat, H_cat, table):
+    def hvp_bucket(p, conn_cat, H_cat, rows):
         """q = H p over the consolidated two-bucket layout: 2 gathers +
-        2 batched matvecs + the two-level gather-table reduction."""
-        entry, hot_idx, hot_entry, _hot_n, _ = table
+        2 batched matvecs + one deterministic scatter (_scatter_q). `rows`
+        is the flat block-row vector (scatter_rows of the frozen conn)."""
         p_pad = jnp.concatenate([p, jnp.zeros((1, 3), p.dtype)])
         qs = []
         for b in _BUCKETS:
@@ -335,11 +355,7 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             q_e = jnp.einsum("eij,ej->ei", H_cat[b], p_e)
             qs.append(q_e.reshape(-1, 3))
         q_flat = jnp.concatenate(qs) if len(qs) > 1 else qs[0]
-        q_pad = jnp.concatenate([q_flat, jnp.zeros((1, 3), q_flat.dtype)])
-        q = jnp.sum(q_pad[entry], axis=1)
-        hot_part = jnp.sum(q_pad[hot_entry], axis=1)
-        return q.at[jnp.clip(hot_idx, 0, n_blocks - 1)].add(
-            hot_part, mode="drop")
+        return _scatter_q(rows, q_flat)
 
     def diag_bucket(conn_cat, H_cat):
         """3x3 diagonal blocks over the consolidated layout. Dummy rows

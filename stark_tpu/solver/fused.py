@@ -102,13 +102,9 @@ def build_fused_solve(nm, engine):
         r_max = 0.0
         n_soft = n_blocks
         isect_on = False
-    count_keys = cand_keys + ["hvp_deg", "hvp_hot"]
+    count_keys = list(cand_keys)
     key_slot = {k: i for i, k in enumerate(count_keys)}
-    hvp_deg_slot = key_slot["hvp_deg"]
-    hvp_hot_slot = key_slot["hvp_hot"]
     n_counts = len(count_keys)
-    hvp_K2 = nm._hvp_K2
-    hvp_hot = nm._hvp_hot
 
     def _counts_arr(counts: dict):
         arr = jnp.zeros((n_counts,), jnp.int32)
@@ -174,8 +170,8 @@ def build_fused_solve(nm, engine):
 
         def pair_build(u, bcands):
             """The cheap pair-shell build: exact distances over the frozen
-            broad buffers + the consolidated CG connectivity/scatter-table
-            (conn frozen between pair rebuilds)."""
+            broad buffers + the consolidated CG connectivity/scatter rows
+            (conn frozen between pair rebuilds; no sorting anywhere)."""
             if engine is not None:
                 Vs, Vr = _world(u, eng_state, dt, ftype)
                 tables, counts = engine.pairs_fn(Vs, Vr, th_vec, bcands, slack_p)
@@ -187,10 +183,7 @@ def build_fused_solve(nm, engine):
                 carr = jnp.zeros((n_counts,), jnp.int32)
             conn_cat = ev.bucket_conn(full_data(tables))
             rows = ev.scatter_rows(conn_cat)
-            table = ev.scatter_table_rows(rows, hvp_K, hvp_hot, hvp_K2)
-            carr = carr.at[hvp_deg_slot].max(table[4].astype(jnp.int32))
-            carr = carr.at[hvp_hot_slot].max(table[3].astype(jnp.int32))
-            return tables, conn_cat, table, (Vs, Vr), carr
+            return tables, conn_cat, rows, (Vs, Vr), carr
 
         def isect_hit(u, icands):
             """Exact intersection tests over the frozen candidates."""
@@ -209,7 +202,7 @@ def build_fused_solve(nm, engine):
             bcands0, icands0 = {}, {}
             Vb0 = (jnp.zeros((0, 3), ftype), jnp.zeros((0, 3), ftype))
         p_sh = jax.eval_shape(pair_build, u0, bcands0)
-        tables0, conn0, entry0, Vp0, _c = jax.tree_util.tree_map(
+        tables0, conn0, rows0, Vp0, _c = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), p_sh)
 
         class Carry(NamedTuple):
@@ -235,7 +228,7 @@ def build_fused_solve(nm, engine):
             slack_b: jnp.ndarray
             tables: dict
             conn_cat: dict
-            entry: tuple      # two-level gather table (see scatter_table_rows)
+            rows: jnp.ndarray  # flat scatter row ids (frozen with the conn)
             Vp: tuple
             du_prev: jnp.ndarray
             force_rb: jnp.ndarray
@@ -269,10 +262,10 @@ def build_fused_solve(nm, engine):
             disp_b = jnp.where(need_b, 0.0, disp_b)
 
             need_p = need_b | (disp_p > 0.45 * slack_p)
-            tables, conn_cat, entry, Vp, carr_p = lax.cond(
+            tables, conn_cat, rows, Vp, carr_p = lax.cond(
                 need_p,
                 lambda _: pair_build(u, bcands),
-                lambda _: (c.tables, c.conn_cat, c.entry, c.Vp, counts_max),
+                lambda _: (c.tables, c.conn_cat, c.rows, c.Vp, counts_max),
                 operand=None)
             counts_max = jnp.maximum(counts_max, carr_p)
 
@@ -320,7 +313,7 @@ def build_fused_solve(nm, engine):
             H_cat = ev.bucket_hess(hess_p, data)
             D = ev.diag_bucket(conn_cat, H_cat)
             Dinv = assembly.precondition_inverse(D)
-            A = lambda p: ev.hvp_bucket(p, conn_cat, H_cat, entry)
+            A = lambda p: ev.hvp_bucket(p, conn_cat, H_cat, rows)
             Minv = lambda r: assembly.apply_preconditioner(Dinv, r)
             cg = solve_pcg(A, Minv, -grad, abs_tol, params["cg_rel_tolerance"],
                            s.cg_max_iterations, s.cg_stop_on_indefiniteness)
@@ -428,7 +421,7 @@ def build_fused_solve(nm, engine):
                 n_hess=c.n_hess + n_hess.astype(jnp.int32),
                 res=res, E0=E0, stall=stall, counts_max=counts_max,
                 bcands=bcands, icands=icands, Vb=Vb, slack_b=slack_b,
-                tables=tables, conn_cat=conn_cat, entry=entry, Vp=Vp,
+                tables=tables, conn_cat=conn_cat, rows=rows, Vp=Vp,
                 du_prev=reach_du, force_rb=force_rb,
             )
 
@@ -441,7 +434,7 @@ def build_fused_solve(nm, engine):
                      n_proj=z32, n_hess=z32, res=zf, E0=jnp.zeros((), jnp.float64),
                      stall=z32, counts_max=jnp.zeros((n_counts,), jnp.int32),
                      bcands=bcands0, icands=icands0, Vb=Vb0, slack_b=zf,
-                     tables=tables0, conn_cat=conn0, entry=entry0, Vp=Vp0,
+                     tables=tables0, conn_cat=conn0, rows=rows0, Vp=Vp0,
                      du_prev=params["du_prior"].astype(ftype),
                      force_rb=jnp.zeros((), bool))
         final = lax.while_loop(cond, body, init)

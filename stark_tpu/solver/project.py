@@ -20,6 +20,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def default_jacobi_sweeps() -> int:
@@ -27,38 +28,84 @@ def default_jacobi_sweeps() -> int:
     return 0 if jax.default_backend() == "cpu" else 8
 
 
+def _round_robin_rounds(d: int):
+    """Parallel Jacobi (round-robin / 'chess tournament') schedule: a list
+    of rounds, each a list of DISJOINT (p, q) pairs covering all d*(d-1)/2
+    pairs across the rounds. Even d: d-1 rounds of d/2 pairs; odd d: d
+    rounds with one index sitting out each round."""
+    idx = list(range(d))
+    bye = None
+    if d % 2 == 1:
+        idx.append(-1)          # bye slot
+    n = len(idx)
+    rounds = []
+    for _ in range(n - 1):
+        pairs = []
+        for i in range(n // 2):
+            a, b = idx[i], idx[n - 1 - i]
+            if a >= 0 and b >= 0:
+                pairs.append((min(a, b), max(a, b)))
+        rounds.append(pairs)
+        idx = [idx[0]] + [idx[-1]] + idx[1:-1]
+    return rounds
+
+
 def _jacobi_eigh(A, sweeps: int):
-    """Batched cyclic Jacobi for symmetric (E, d, d) stacks. Returns
-    (w, V) with A ~= V @ diag(w) @ V^T. Rotation indices are static so the
-    whole sweep unrolls into fused row/column updates.
+    """Batched parallel-order Jacobi for symmetric (E, d, d) stacks.
+    Returns (w, V) with A ~= V @ diag(w) @ V^T.
+
+    Each round applies floor(d/2) DISJOINT rotations at once as two full-
+    tensor axis updates built from a STATIC partner permutation:
+        B  = c_row * A + s_row * A[perm, :]        (G^T A)
+        A' = c_col * B + s_col * B[:, perm]        (... G)
+    so a whole round is ~8 elementwise passes + 2 static-permutation
+    gathers over the (d, d, E) tensor — versus 6 dynamic-update-slices per
+    rotation in the serial form, which XLA materializes as full-tensor
+    copies (measured 70+ ms per Newton iteration at bench scale; this form
+    is ~an order of magnitude cheaper). Parallel-cyclic ordering converges
+    like cyclic Jacobi [Brent & Luk 1985].
 
     Internally works in (d, d, E) layout: the batch dim lands in the
-    128-lane minor axis so every rotation update is a full-width vector op
-    (an (E, 12, 12) layout pads 12 lanes to 128 — ~10x wasted VPU width)."""
+    128-lane minor axis so every update is a full-width vector op."""
     d = A.shape[-1]
     E = A.shape[0]
     A = jnp.moveaxis(A, 0, -1)                       # (d, d, E)
     V = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype)[:, :, None], (d, d, E))
 
+    rounds = _round_robin_rounds(d)
+    # static per-round tables: partner permutation, pair slot of each row,
+    # sign (+s for the larger index, -s for the smaller, 0 for a bye)
+    tables = []
+    for pairs in rounds:
+        perm = list(range(d))
+        slot = [0] * d
+        sgn = [0.0] * d
+        paired = [False] * d
+        for k, (p, q) in enumerate(pairs):
+            perm[p], perm[q] = q, p
+            slot[p] = slot[q] = k
+            sgn[p], sgn[q] = -1.0, 1.0
+            paired[p] = paired[q] = True
+        tables.append((np.asarray(perm), np.asarray(slot), np.asarray(sgn),
+                       np.asarray(paired)))
+
     def sweep(carry, _):
         A, V = carry
-        for p in range(d):
-            for q in range(p + 1, d):
-                app = A[p, p]
-                aqq = A[q, q]
-                apq = A[p, q]
-                theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-                c = jnp.cos(theta)                   # (E,)
-                s = jnp.sin(theta)
-                Ap = c * A[p] - s * A[q]             # (d, E)
-                Aq = s * A[p] + c * A[q]
-                A = A.at[p].set(Ap).at[q].set(Aq)
-                Ap = c * A[:, p] - s * A[:, q]
-                Aq = s * A[:, p] + c * A[:, q]
-                A = A.at[:, p].set(Ap).at[:, q].set(Aq)
-                Vp = c * V[:, p] - s * V[:, q]
-                Vq = s * V[:, p] + c * V[:, q]
-                V = V.at[:, p].set(Vp).at[:, q].set(Vq)
+        for pairs, (perm, slot, sgn, paired) in zip(rounds, tables):
+            p_idx = np.asarray([p for p, _ in pairs])
+            q_idx = np.asarray([q for _, q in pairs])
+            app = A[p_idx, p_idx]                    # (n_pairs, E)
+            aqq = A[q_idx, q_idx]
+            apq = A[p_idx, q_idx]
+            theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            c = jnp.cos(theta)
+            s = jnp.sin(theta)
+            # bye rows (odd d) rotate by identity
+            cr = jnp.where(jnp.asarray(paired)[:, None], c[slot], 1.0)
+            sr = jnp.asarray(sgn, A.dtype)[:, None] * s[slot]
+            B = cr[:, None, :] * A + sr[:, None, :] * A[perm, :, :]
+            A = cr[None, :, :] * B + sr[None, :, :] * B[:, perm, :]
+            V = cr[None, :, :] * V + sr[None, :, :] * V[:, perm, :]
         return (A, V), None
 
     (A, V), _ = jax.lax.scan(sweep, (A, V), None, length=sweeps)

@@ -54,6 +54,11 @@ def load_state(sim, path: str):
         dyn.x1 = dyn.x0
         dyn.v0 = jnp.asarray(data["pt_v0"], dtype)
         dyn.v1 = jnp.zeros_like(dyn.v0)
+        # refresh the post-freeze host mirrors (see PointDynamics: the
+        # solver-primed caches would otherwise serve stale pre-restore state)
+        dyn._host_x0 = np.asarray(data["pt_x0"], dtype=np.float64).copy()
+        dyn._host_x1 = None
+        dyn._host_v1 = None
     else:
         dyn._x0_host = data["pt_x0"].copy()
         dyn._v0_host = data["pt_v0"].copy()
