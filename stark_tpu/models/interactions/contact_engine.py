@@ -307,29 +307,45 @@ class ContactEngine:
                 h = min(64, max(1, self._block_sizes(stem)[1]))
             elif name.startswith("c_"):
                 # broad-shell candidate row slots: within slack_broad_max a
-                # dense flat mesh packs ~100 primitives around one query
-                # (EE denser: parallel + diagonal edges)
+                # dense flat mesh packs ~100-250 primitives around one query
+                # (EE denser: parallel + diagonal edges). Rigid-EDGE queries
+                # (ee_dr / ee_rr with few long edges) get much larger K:
+                # their bounding spheres span the body, covering O(nt/4)
+                # targets — measured 756 soft edges per box edge on the
+                # 32x32 bench — and rows are few so (Nq, K) stays tiny.
                 stem = name[2:]
                 _nq, nt = self._block_sizes(stem)
-                h = min(128 if stem.startswith("ee") else 64, max(1, nt))
+                if stem.startswith("ee") and stem[3] == "r":
+                    h = min(1024, max(64, nt // 4), max(1, nt))
+                else:
+                    h = min(256 if stem.startswith("ee") else 128, max(1, nt))
             elif name.startswith("i_"):
                 kind = name[2:]
                 nt = len(self.ts) if kind[1] == "s" else len(self.tr)
-                h = min(64, max(1, nt))
+                if kind[0] == "r":  # rigid-edge queries: see c_ note above
+                    h = min(1024, max(64, nt // 4), max(1, nt))
+                else:
+                    h = min(256, max(1, nt))
             else:
+                # pair-table capacities: sized for a contact REGION (a
+                # fraction of the mesh), not the whole mesh — the energy,
+                # Hessian, PD-projection, and CG stages all process cap rows
+                # including padding, so oversizing these directly taxes every
+                # Newton iteration. Worst-case pileups overflow -> double +
+                # re-trace (the standing cap-bump ladder).
                 stem = name[2:] if name.startswith("f_") else name
                 if stem == "pt_dd":
-                    h = len(self.sv_gid)
+                    h = max(256, len(self.sv_gid) // 4)
                 elif stem == "pt_dr":
-                    h = len(self.sv_gid)
+                    h = max(256, len(self.sv_gid) // 4)
                 elif stem == "pt_rd":
-                    h = max(len(self.rv_body), len(self.ts) // 4)
+                    h = max(len(self.rv_body), len(self.ts) // 8)
                 elif stem == "pt_rr":
                     h = len(self.rv_body)
                 elif stem == "ee_dd":
-                    h = 2 * len(self.es)
+                    h = max(512, len(self.es) // 4)
                 elif stem == "ee_dr":
-                    h = max(len(self.er), len(self.es) // 2)
+                    h = max(len(self.er), len(self.es) // 8)
                 else:  # ee_rr
                     h = len(self.er)
             cap = 16 if name.startswith(("c_", "cf_", "i_")) else 256
@@ -577,14 +593,22 @@ class ContactEngine:
                    pfx="", with_live=False):
         """Exact IPC point-triangle distances over the (Nq, K) candidate
         grid, filtered to d <= dhat + sl and compacted to the pair
-        capacity."""
+        capacity.
+
+        Gather discipline: per-candidate data comes from ONE fat-row gather
+        (tri vertices + thickness packed as (Nt, 10) rows); the query side
+        broadcasts per row with no gather at all. Scalar-column gathers at
+        (Nq*K) scale measured ~6-16 ms EACH on v5e (5-20 ns/element);
+        the fat-row form is ~12x cheaper."""
         Nq, K = tid.shape
         nt = t0.shape[0]
-        tc = jnp.clip(tid, 0, max(nt - 1, 0)).reshape(-1)
-        qc = jnp.broadcast_to(jnp.arange(Nq, dtype=jnp.int32)[:, None],
-                              (Nq, K)).reshape(-1)
-        d_c = jax.vmap(nph.point_triangle_distance)(P[qc], t0[tc], t1[tc], t2[tc])
-        dhat_c = th_p[qc] + th_t[tc]
+        tc2 = jnp.clip(tid, 0, max(nt - 1, 0))
+        fat = jnp.concatenate([t0, t1, t2, th_t[:, None]], axis=-1)  # (Nt,10)
+        T = fat[tc2].reshape(Nq * K, 10)
+        Pk = jnp.broadcast_to(P[:, None, :], (Nq, K, 3)).reshape(Nq * K, 3)
+        d_c = jax.vmap(nph.point_triangle_distance)(
+            Pk, T[:, 0:3], T[:, 3:6], T[:, 6:9])
+        dhat_c = jnp.broadcast_to(th_p[:, None], (Nq, K)).reshape(-1) + T[:, 9]
         in_range = (tid < nt).reshape(-1)
         valid = in_range & (d_c <= dhat_c + sl)
         sel, count = compact_indices(valid, cap)
@@ -593,7 +617,8 @@ class ContactEngine:
         if with_live:
             counts["n_live_" + stem] = jnp.sum(
                 (in_range & (d_c <= dhat_c)).astype(jnp.int32))
-        return qc[sel], tc[sel], active, d_c[sel], dhat_c[sel], counts
+        qc = (sel // K).astype(jnp.int32)
+        return qc, tc2.reshape(-1)[sel], active, d_c[sel], dhat_c[sel], counts
 
     def _ee_pairs(self, stem, Vs, Vr, th, extra_mat=None, slack=None):
         """Two-stage masked EE proximity (see _pt_pairs): stage 1 is the
@@ -671,16 +696,19 @@ class ContactEngine:
     def _ee_stage2(self, stem, a0, a1, b0, b1, th_a, th_b, tid, sl, cap,
                    pfx="", with_live=False):
         """Exact IPC edge-edge distances over the (Nq, K) candidate grid,
-        filtered to d <= dhat + sl and compacted to the pair capacity."""
+        filtered to d <= dhat + sl and compacted to the pair capacity.
+        Fat-row gather discipline — see _pt_stage2."""
         Nq, K = tid.shape
         nb = b0.shape[0]
-        cb = jnp.clip(tid, 0, max(nb - 1, 0)).reshape(-1)
-        ca = jnp.broadcast_to(jnp.arange(Nq, dtype=jnp.int32)[:, None],
-                              (Nq, K)).reshape(-1)
+        cb2 = jnp.clip(tid, 0, max(nb - 1, 0))
+        fat = jnp.concatenate([b0, b1, th_b[:, None]], axis=-1)   # (Nb, 7)
+        B = fat[cb2].reshape(Nq * K, 7)
+        A0 = jnp.broadcast_to(a0[:, None, :], (Nq, K, 3)).reshape(Nq * K, 3)
+        A1 = jnp.broadcast_to(a1[:, None, :], (Nq, K, 3)).reshape(Nq * K, 3)
         ptol = self.model.edge_edge_cross_norm_sq_cutoff
         d_c = jax.vmap(lambda x0, x1, y0, y1: nph.edge_edge_distance(
-            x0, x1, y0, y1, parallel_tol=ptol))(a0[ca], a1[ca], b0[cb], b1[cb])
-        dhat_c = th_a[ca] + th_b[cb]
+            x0, x1, y0, y1, parallel_tol=ptol))(A0, A1, B[:, 0:3], B[:, 3:6])
+        dhat_c = jnp.broadcast_to(th_a[:, None], (Nq, K)).reshape(-1) + B[:, 6]
         in_range = (tid < nb).reshape(-1)
         valid = in_range & (d_c <= dhat_c + sl)
         sel, count = compact_indices(valid, cap)
@@ -689,7 +717,8 @@ class ContactEngine:
         if with_live:
             counts["n_live_" + stem] = jnp.sum(
                 (in_range & (d_c <= dhat_c)).astype(jnp.int32))
-        return ca[sel], cb[sel], active, d_c[sel], dhat_c[sel], counts
+        ca = (sel // K).astype(jnp.int32)
+        return ca, cb2.reshape(-1)[sel], active, d_c[sel], dhat_c[sel], counts
 
     # ------------------------------------------------------------------
     # family data builders (traced)
@@ -1115,12 +1144,18 @@ class ContactEngine:
             tid, overflowed = cands[ikey]
             Ne, K = tid.shape
             nt = tris.shape[0]
-            tc = jnp.clip(tid, 0, max(nt - 1, 0)).reshape(-1)
-            ec = jnp.broadcast_to(jnp.arange(Ne, dtype=jnp.int32)[:, None],
-                                  (Ne, K)).reshape(-1)
-            p0, p1 = E[edges[ec, 0]], E[edges[ec, 1]]
-            t0, t1, t2 = T[tris[tc, 0]], T[tris[tc, 1]], T[tris[tc, 2]]
-            isect = jax.vmap(nph.segment_triangle_intersects)(p0, p1, t0, t1, t2)
+            tc = jnp.clip(tid, 0, max(nt - 1, 0))
+            # fat-row gathers (see _pt_stage2): one (Nt, 9) row per
+            # candidate; the edge side broadcasts per row
+            fat = jnp.concatenate(
+                [T[tris[:, 0]], T[tris[:, 1]], T[tris[:, 2]]], axis=-1)
+            Tk = fat[tc].reshape(Ne * K, 9)
+            p0 = jnp.broadcast_to(E[edges[:, 0]][:, None, :],
+                                  (Ne, K, 3)).reshape(Ne * K, 3)
+            p1 = jnp.broadcast_to(E[edges[:, 1]][:, None, :],
+                                  (Ne, K, 3)).reshape(Ne * K, 3)
+            isect = jax.vmap(nph.segment_triangle_intersects)(
+                p0, p1, Tk[:, 0:3], Tk[:, 3:6], Tk[:, 6:9])
             valid = (tid < nt).reshape(-1)
             hit |= jnp.any(isect & valid) | overflowed
         return hit
