@@ -123,11 +123,23 @@ class NewtonSettings:
         if self.residual_tolerance_abs is None:
             self.residual_tolerance_abs = 1e-6
         if self.residual_tolerance_rel is None:
-            self.residual_tolerance_rel = 1e-3 if f32 else 0.0
+            # rel fallback OFF for both dtypes (reference default,
+            # solver_utils.h). f32's "can't reach 1e-6 on stiff scenes" is
+            # handled by the principled residual noise floor (assembly.py
+            # g_nsq -> fused.py res_target); the earlier rel=1e-3 fallback
+            # accepted under-converged contact states (measured 1e-3..2e-2
+            # one-step deviation vs f64 on the bench scene).
+            self.residual_tolerance_rel = 0.0
         if self.step_tolerance is None:
             self.step_tolerance = 1e-5 if f32 else 0.0
         if self.cg_abs_tolerance is None:
-            self.cg_abs_tolerance = 1e-6 if f32 else 1e-12
+            # floor of the Newton forcing sequence (min(1e-2, r*sqrt(r)),
+            # NewtonsMethod.cpp:423). In f32, CG relative errors below
+            # ~30*eps32 are Hvp rounding noise — the forcing sequence would
+            # otherwise demand rel 1e-6 solves near the residual floor and
+            # burn 100s of meaningless iterations (measured: ~57 CG/newton
+            # dropping to ~25 with this floor, identical trajectories).
+            self.cg_abs_tolerance = 3e-5 if f32 else 1e-12
         if self.bailout_residual is None:
             self.bailout_residual = 1e-7 if f32 else 1e-10
 

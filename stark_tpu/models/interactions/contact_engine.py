@@ -316,16 +316,24 @@ class ContactEngine:
                 stem = name[2:]
                 _nq, nt = self._block_sizes(stem)
                 if stem.startswith("ee") and stem[3] == "r":
-                    h = min(1024, max(64, nt // 4), max(1, nt))
+                    # rigid-edge queries: full candidacy (rows are few, and
+                    # a body-length edge's bounding sphere legitimately
+                    # covers most of a nearby mesh — measured 3024/3136
+                    # soft edges per box edge mid-drape)
+                    h = max(1, nt)
                 else:
-                    h = min(256 if stem.startswith("ee") else 128, max(1, nt))
+                    # soft queries: sized for a draped/crumpled state (the
+                    # 32x32 bench measured up to 256 pt / 512 ee rows);
+                    # under-sizing costs a ~100-200 s re-trace mid-run
+                    h = min(1024 if stem.startswith("ee") else 512,
+                            max(1, nt))
             elif name.startswith("i_"):
                 kind = name[2:]
                 nt = len(self.ts) if kind[1] == "s" else len(self.tr)
                 if kind[0] == "r":  # rigid-edge queries: see c_ note above
-                    h = min(1024, max(64, nt // 4), max(1, nt))
+                    h = max(1, nt)
                 else:
-                    h = min(256, max(1, nt))
+                    h = min(512, max(1, nt))
             else:
                 # pair-table capacities: sized for a contact REGION (a
                 # fraction of the mesh), not the whole mesh — the energy,
@@ -333,19 +341,21 @@ class ContactEngine:
                 # including padding, so oversizing these directly taxes every
                 # Newton iteration. Worst-case pileups overflow -> double +
                 # re-trace (the standing cap-bump ladder).
+                # sized for a fully-draped state (r3-proven on the bench:
+                # no overflow across the full spinning drape)
                 stem = name[2:] if name.startswith("f_") else name
                 if stem == "pt_dd":
-                    h = max(256, len(self.sv_gid) // 4)
+                    h = len(self.sv_gid)
                 elif stem == "pt_dr":
-                    h = max(256, len(self.sv_gid) // 4)
+                    h = len(self.sv_gid)
                 elif stem == "pt_rd":
-                    h = max(len(self.rv_body), len(self.ts) // 8)
+                    h = max(len(self.rv_body), len(self.ts) // 4)
                 elif stem == "pt_rr":
                     h = len(self.rv_body)
                 elif stem == "ee_dd":
-                    h = max(512, len(self.es) // 4)
+                    h = 2 * len(self.es)
                 elif stem == "ee_dr":
-                    h = max(len(self.er), len(self.es) // 8)
+                    h = max(len(self.er), len(self.es) // 2)
                 else:  # ee_rr
                     h = len(self.er)
             cap = 16 if name.startswith(("c_", "cf_", "i_")) else 256

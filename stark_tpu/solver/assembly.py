@@ -72,15 +72,27 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         return E, grad
 
     def energy_grad_hess(u, data, glob):
-        """Returns (E, E_abs, grad, {name: H (E, arity*3, arity*3)}). The
+        """Returns (E, aux, grad, {name: H (E, arity*3, arity*3)}). The
         per-family dense element Hessians play the role of ElementHessians
         chunk storage (ElementHessians.h:22-104) but stay on device, uniform
-        per family. E_abs = sum of |per-element energies| — the scale whose
-        product with eps(dtype) is the rounding-noise floor of any energy
-        difference, used by the solver's noise-aware convergence tests."""
+        per family.
+
+        aux carries the f32 rounding-noise floors the solver's convergence
+        tests consume (independent per-element roundings of ~eps*|x| add in
+        quadrature; a linear eps*sum|x| floor overestimates by ~sqrt(N) and
+        made the f32 exits accept under-converged states — measured as
+        1e-3..2e-2 one-step position deviations vs f64):
+          * aux['e_nsq']: sum of per-element energies squared;
+            eps * sqrt(e_nsq) is the energy-difference noise floor.
+          * aux['g_nsq']: max over (block, component) of the sum of squared
+            per-element gradient contributions; eps * sqrt(g_nsq) is the
+            rounding-noise floor of the residual inf-norm — the smallest
+            residual the f32 evaluation can certify."""
         E = jnp.zeros((), dtype=_ACC)
-        E_abs = jnp.zeros((), dtype=_ACC)
+        E_nsq = jnp.zeros((), dtype=_ACC)
         grad = jnp.zeros((n_blocks, 3), dtype=u.dtype)
+        gsq = jnp.zeros((n_blocks, 3), dtype=u.dtype)
+        hsum = jnp.zeros((n_blocks, 3), dtype=u.dtype)
         hess: Dict[str, jnp.ndarray] = {}
         for name, fd in data.items():
             fam = fam_by_name[name]
@@ -93,17 +105,34 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
                 u_e, fd["rows"], glob)
             mask = _active_mask(fd["rows"])
             E = E + jnp.sum(jnp.where(mask, e, 0.0).astype(_ACC))
-            E_abs = E_abs + jnp.sum(jnp.where(mask, jnp.abs(e), 0.0).astype(_ACC))
+            E_nsq = E_nsq + jnp.sum(jnp.where(mask, e, 0.0).astype(_ACC) ** 2)
             g_e = jnp.where(mask[:, None, None], g_e, 0.0)
-            grad = grad + jax.ops.segment_sum(
-                g_e.reshape(-1, 3), fd["conn"].reshape(-1), num_segments=n_blocks)
+            # one scatter pass accumulates the gradient AND its square
+            # (columns 3:6) — the square feeds the residual noise floor
+            g_flat = g_e.reshape(-1, 3)
+            both = jax.ops.segment_sum(
+                jnp.concatenate([g_flat, g_flat * g_flat], axis=-1),
+                fd["conn"].reshape(-1), num_segments=n_blocks)
+            grad = grad + both[:, :3]
+            gsq = gsq + both[:, 3:]
             H_e = H_e.reshape(H_e.shape[0], a * 3, a * 3)
             H_e = jnp.where(mask[:, None, None], H_e, 0.0)
             # enforce exact symmetry (autodiff roundoff) like the reference's
             # symmetric Hessian derivation (diff.cpp:88-99)
             H_e = 0.5 * (H_e + jnp.swapaxes(H_e, 1, 2))
             hess[name] = H_e
-        return E, E_abs, grad, hess
+            # per-block |H| row sums -> the backward-error residual floor:
+            # a 1-ulp position jiggle (eps * x_scale, i.e. eps * x_scale/dt
+            # in velocity DOFs) perturbs the gradient by up to
+            # sum_j |H_ij| * that; residual components below it carry no
+            # information at this dtype (the f32 cancellation floor the
+            # quadrature g_nsq model cannot see)
+            hrow = jnp.sum(jnp.abs(H_e), axis=2).reshape(-1, 3)
+            hsum = hsum + jax.ops.segment_sum(
+                hrow, fd["conn"].reshape(-1), num_segments=n_blocks)
+        aux = {"e_nsq": E_nsq, "g_nsq": jnp.max(gsq).astype(_ACC),
+               "hsum": hsum}
+        return E, aux, grad, hess
 
     def hvp_context(data, hess):
         """Concatenate element Hessians + connectivity by arity so each CG
@@ -217,21 +246,22 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         return diag_blocks_ctx(hvp_context(data, hess))
 
     # ------------------------------------------------------------------
-    # two-bucket arity consolidation for the fused CG loop.
+    # single-bucket arity consolidation for the fused CG loop.
     #
     # The per-CG-iteration cost on TPU is dominated by kernel-launch count,
-    # not flops: one gather + one batched matvec per ARITY GROUP. Families
-    # are therefore padded into just two buckets (arity<=3 -> 3, else -> 5)
-    # with dummy-block (n_blocks) connectivity padding, so every CG
-    # iteration runs exactly two gather/einsum pairs + one gather-table
-    # reduction regardless of how many families exist. Padded conn entries
-    # gather a zero row of p and their output rows are routed away by the
-    # scatter table; padded H rows/cols are zero.
+    # not flops: ALL families pad to one arity bucket so every CG iteration
+    # runs exactly ONE gather + ONE batched matvec + ONE matmul scatter.
+    # Padding a 1-arity inertia row to 15x15 costs 25x its (trivial) flops
+    # while removing a whole gather/einsum pipeline from the loop — on a
+    # 3k-DOF scene the CG iteration is launch-bound, not flop-bound.
+    # Padded conn entries gather a zero row of p and their output rows land
+    # in the dummy segment; padded H rows/cols are zero.
     # ------------------------------------------------------------------
-    _BUCKETS = (3, 5)
+    _max_arity = max((f.arity for f in families), default=1)
+    _BUCKETS = (_max_arity,)
 
     def _bucket_of(arity: int) -> int:
-        return 3 if arity <= 3 else 5
+        return _max_arity
 
     def _bucket_names(data):
         """Canonical per-bucket family order (sorted names)."""

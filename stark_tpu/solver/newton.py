@@ -400,10 +400,12 @@ class NewtonsMethod:
             glob = self.get_glob()
             u = self.get_dofs()
             with self.logger.time("evaluate"):
-                E0_dev, E_abs_dev, grad, hess_raw = self._jit_egh(u, data, glob)
+                E0_dev, aux, grad, hess_raw = self._jit_egh(u, data, glob)
                 E0 = float(E0_dev)
-                # energy rounding-noise floor (see fused.py)
-                noise = float(np.finfo(np.dtype(u.dtype)).eps) * float(E_abs_dev)
+                # rounding-noise floors (quadrature form; see assembly.py)
+                eps_d = float(np.finfo(np.dtype(u.dtype)).eps)
+                noise = eps_d * math.sqrt(max(float(aux["e_nsq"]), 0.0))
+                res_noise = eps_d * math.sqrt(max(float(aux["g_nsq"]), 0.0))
 
             # Residual (default inf-norm, solver_utils.h:28)
             if self.callbacks.residual is not None:
@@ -424,7 +426,16 @@ class NewtonsMethod:
                 result = SolverReturn.Successful
                 break
             if newton_iteration >= s.min_iterations:
-                if residual_norm < s.residual_tolerance_abs:
+                # abs tolerance, componentwise floored by the per-block
+                # backward-error floor (see fused.py res_ok)
+                x_scale = (1.0 + float(jnp.max(jnp.abs(glob["x0"])))
+                           if "x0" in glob else 1.0)
+                vscale = max(float(jnp.max(jnp.abs(u))),
+                             x_scale / float(glob["dt"]))
+                res_ok = bool(jnp.all(jnp.abs(grad) <= jnp.maximum(
+                    s.residual_tolerance_abs,
+                    4.0 * eps_d * vscale * aux["hsum"])))
+                if res_ok:
                     result = SolverReturn.Successful
                     break
                 if newton_iteration > 0 and residual_norm / res_0 < s.residual_tolerance_rel:
@@ -659,6 +670,14 @@ class NewtonsMethod:
         self.logger.add_and_append("ls_bt", armijo_iterations)
 
         if armijo_iterations == s.max_backtracking_armijo_iterations:
+            if np.dtype(np.asarray(u0).dtype) == np.float32:
+                # f32: exhausting the noise-tolerant Armijo means no step
+                # decreased the energy beyond its rounding floor — the f32
+                # gradient's descent claim is cancellation noise and the
+                # state is converged at dtype resolution (see fused.py
+                # bt_conv). f64 keeps the reference's failure semantics.
+                self.set_dofs(u0)
+                return SolverReturn.Successful
             self.output.print_with_new_line("Newton failure: Too many armijo iterations.", Verbosity.Medium)
             if s.print_line_search_upon_failure:
                 self._dump_line_search_profile(u0, du, E0, du_dot_grad)

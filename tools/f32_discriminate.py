@@ -6,6 +6,7 @@ If (a)~(b) << (a)-(c), the convergence criteria are not the problem.
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["STARK_TPU_COMPILE_CACHE"] = ""  # CPU: no cross-host AOT cache
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
