@@ -93,21 +93,50 @@ def main():
     except OSError:
         pass
 
+    extra = {
+        "ok": bool(ok),
+        "sim_sec_per_wall_hour": round(sim_sec_per_wall_hour, 2),
+        "contact_pairs_live": pairs_now,
+        "contact_pairs_per_s": round(pairs_per_s, 1),
+        "newton_iters": int(newton_iters),
+        "wall_s": round(wall, 2),
+        "fused_retraces": int(logger.get_int("fused_retraces")),
+        "dtype": dtype,
+    }
+
+    # scaling point: one larger cloth (VERDICT r3 item 7 — the 3k-DOF scene
+    # is latency-bound; the TPU story needs a throughput-side measurement).
+    # Short window; failures must not take down the primary metric.
+    scale_quads = int(os.environ.get("BENCH_SCALE_QUADS", "128"))
+    if scale_quads:
+        try:
+            sim2 = build_scene(n_quads=scale_quads, dtype=dtype)
+            sim2.run_one_time_step()  # warmup/compile
+            lg2 = sim2.get_logger()
+            warm2 = lg2.get_stats("newton_iterations").total
+            t0 = time.perf_counter()
+            t_sim = sim2.get_time()
+            ok2 = sim2.run(duration=float(
+                os.environ.get("BENCH_SCALE_SECONDS", "0.15")))
+            wall2 = time.perf_counter() - t0
+            it2 = lg2.get_stats("newton_iterations").total - warm2
+            extra["scale_%d" % scale_quads] = {
+                "ok": bool(ok2),
+                "newton_iters_per_s": round(it2 / wall2, 3) if wall2 else 0.0,
+                "sim_sec_per_wall_hour": round(
+                    (sim2.get_time() - t_sim) / wall2 * 3600.0, 2),
+                "newton_iters": int(it2),
+                "wall_s": round(wall2, 2),
+            }
+        except Exception as e:  # pragma: no cover - diagnostic only
+            extra["scale_%d" % scale_quads] = {"ok": False, "error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "newton_iters_per_s(spinning_box_cloth_%d)" % n_quads,
         "value": round(iters_per_s, 3),
         "unit": "iter/s",
         "vs_baseline": vs_baseline,
-        "extra": {
-            "ok": bool(ok),
-            "sim_sec_per_wall_hour": round(sim_sec_per_wall_hour, 2),
-            "contact_pairs_live": pairs_now,
-            "contact_pairs_per_s": round(pairs_per_s, 1),
-            "newton_iters": int(newton_iters),
-            "wall_s": round(wall, 2),
-            "fused_retraces": int(logger.get_int("fused_retraces")),
-            "dtype": dtype,
-        },
+        "extra": extra,
     }))
 
 

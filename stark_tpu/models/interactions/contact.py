@@ -266,10 +266,18 @@ class EnergyFrictionalContact:
     # runtime hooks (reference callbacks, EnergyFrictionalContact.cpp:20-38)
     # ------------------------------------------------------------------
     def _before_time_step(self):
-        if self._engine is not None and self.enabled \
-                and self.global_params.friction_enabled \
-                and self.stark.settings.simulation.init_frictional_contact:
-            self._engine.refresh_friction(self.stark.dt)
+        if self._engine is None or not self.enabled \
+                or not self.global_params.friction_enabled \
+                or not self.stark.settings.simulation.init_frictional_contact:
+            return
+        nm = self.stark.newton
+        if nm is not None and nm.fused_friction and nm._fused_eligible():
+            # the fused program builds the dt=0 friction tables in-device
+            # (fused.py use_ff); the host tables must be empty so the
+            # static-data path does not double-count them
+            self._engine._friction_data = {}
+            return
+        self._engine.refresh_friction(self.stark.dt)
 
     def _before_energy_evaluation(self):
         if self._engine is not None and self.enabled:
@@ -304,6 +312,16 @@ class EnergyFrictionalContact:
     def dynamic_family_data(self):
         if self._engine is None or not self.enabled:
             return {}
+        # staged/diagnostic consumers need host friction tables even when
+        # the fused path builds them in-program (its _before_time_step
+        # leaves the host dict empty); the dt=0 pass reads x0/q0, which
+        # only roll on accept, so a lazy refresh here still freezes the
+        # step-start anchors
+        if self.global_params.friction_enabled \
+                and self.stark.settings.simulation.init_frictional_contact \
+                and not self._engine._friction_data \
+                and self._engine.friction_enabled_now():
+            self._engine.refresh_friction(self.stark.dt)
         return self._engine.current_family_data()
 
     def glob_entries(self):

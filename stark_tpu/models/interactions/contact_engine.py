@@ -295,11 +295,10 @@ class ContactEngine:
         if name not in self._caps:
             if name.startswith("g_"):
                 # spatial-hash structural caps: per-target insertion slots /
-                # per-query bucket-scan length (the latter must absorb the
-                # broad-shell slack radius: ~1-2k targets per bucket measured
-                # on the 32x32 flat-cloth bench; h ~ R puts ~27-40 cells per
-                # target)
-                h = 64 if name.endswith("_ins") else 2048
+                # per-query bucket-scan length. The scan length sizes a
+                # (Q, occ) intermediate, so it starts moderate and bumps on
+                # measured occupancy; h ~ R puts ~27-40 cells per target
+                h = 64 if name.endswith("_ins") else 512
             elif name.startswith("cf_"):
                 # friction candidate row slots (no slack margin -> fewer).
                 # NOTE: check cf_ BEFORE c_ ('cf_x'.startswith('c_') too).
@@ -315,7 +314,9 @@ class ContactEngine:
                 # 32x32 bench — and rows are few so (Nq, K) stays tiny.
                 stem = name[2:]
                 _nq, nt = self._block_sizes(stem)
-                if stem.startswith("ee") and stem[3] == "r":
+                # NOTE: for EE stems the QUERY side is the FIRST geometry in
+                # _ee_geom: ee_dr queries RIGID edges against soft edges
+                if stem in ("ee_dr", "ee_rr"):
                     # rigid-edge queries: full candidacy (rows are few, and
                     # a body-length edge's bounding sphere legitimately
                     # covers most of a nearby mesh — measured 3024/3136
@@ -341,15 +342,17 @@ class ContactEngine:
                 # including padding, so oversizing these directly taxes every
                 # Newton iteration. Worst-case pileups overflow -> double +
                 # re-trace (the standing cap-bump ladder).
-                # sized for a fully-draped state (r3-proven on the bench:
-                # no overflow across the full spinning drape)
+                # sized for a fully-draped/crumpled state (measured across
+                # the full spinning drape at converged f32 criteria); the
+                # active-row pool decouples these from per-iteration cost,
+                # so generosity only taxes egh/stage-2, not CG/projection
                 stem = name[2:] if name.startswith("f_") else name
                 if stem == "pt_dd":
-                    h = len(self.sv_gid)
+                    h = 2 * len(self.sv_gid)
                 elif stem == "pt_dr":
                     h = len(self.sv_gid)
                 elif stem == "pt_rd":
-                    h = max(len(self.rv_body), len(self.ts) // 4)
+                    h = max(len(self.rv_body), len(self.ts) // 2)
                 elif stem == "pt_rr":
                     h = len(self.rv_body)
                 elif stem == "ee_dd":
@@ -376,12 +379,19 @@ class ContactEngine:
         return nq * nt > GRID_PAIR_THRESHOLD
 
     def _block_sizes(self, stem):
+        """(n_queries, n_targets) of a candidate block. NOTE: stem names
+        carry tmcd's pair-kind labels, not query order — for EE stems the
+        QUERY side is the FIRST geometry of _ee_geom, which is the RIGID
+        edge set for ee_dr."""
         if stem.startswith("pt"):
             nq = len(self.sv_gid) if stem[3] == "d" else len(self.rv_body)
             nt = len(self.ts) if stem[4] == "d" else len(self.tr)
-        else:
-            nq = len(self.es) if stem[3] == "d" else len(self.er)
-            nt = len(self.es) if stem[4] == "d" else len(self.er)
+        elif stem == "ee_dd":
+            nq = nt = len(self.es)
+        elif stem == "ee_dr":
+            nq, nt = len(self.er), len(self.es)
+        else:  # ee_rr
+            nq = nt = len(self.er)
         return nq, nt
 
     def _stage1_keys(self, stem):
@@ -914,6 +924,22 @@ class ContactEngine:
             keys.append("n_live_" + stem)
         return keys
 
+    def friction_count_keys(self):
+        """Count keys friction_tables emits (fused_friction path)."""
+        keys = []
+        for stem in self._blocks():
+            keys.append("f_" + stem)
+            keys.append("cf_" + stem)
+            if self._use_grid(*self._block_sizes(stem)):
+                keys += ["g_" + stem + "_ins", "g_" + stem + "_occ"]
+        return keys
+
+    def friction_enabled_now(self) -> bool:
+        """Friction tables are non-trivial: friction on AND some pair mu."""
+        return (self.model.global_params.friction_enabled
+                and self.model.stark.settings.simulation.init_frictional_contact
+                and any(v != 0.0 for v in self.model.pair_mu.values()))
+
     def world_from_u(self, u, state, dt):
         """(Vs, Vr) world positions under trial DOFs u."""
         return self._world(self.glob_from_u(u, state, dt), dt)
@@ -994,6 +1020,14 @@ class ContactEngine:
     def _friction_fn(self, glob, th, mu_mat, k):
         zero_dt = jnp.asarray(0.0, self.dtype)
         Vs, Vr = self._world(glob, zero_dt)
+        return self.friction_tables(Vs, Vr, th, mu_mat, k)
+
+    def friction_tables(self, Vs, Vr, th, mu_mat, k):
+        """Lagged-friction pair tables from dt=0 world positions: per-pair
+        mu, normal force fn (from the barrier force at the frozen distance),
+        tangent basis T, and barycentric anchors
+        (EnergyFrictionalContact.cpp:531-773). Traced; callable from the
+        fused program (fused_friction) or the host refresh path."""
         btype = self.model.ipc_barrier_type
         out = {}
         counts = {}
@@ -1262,6 +1296,10 @@ class ContactEngine:
             "contact_k": jnp.asarray(self.model.contact_stiffness, self.dtype),
             "friction_epsv": jnp.asarray(
                 self.model.global_params.friction_stick_slide_threshold, self.dtype),
+            # per-mesh-pair Coulomb mu as a glob ARGUMENT (not a traced
+            # constant) so set_friction takes effect without a re-trace;
+            # consumed by the in-program friction tables (fused_friction)
+            "mu_mat": self._mu_mat(),
         }
 
 

@@ -270,6 +270,99 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             out[_bucket_of(fam_by_name[name].arity)].append(name)
         return out
 
+    # ------------------------------------------------------------------
+    # active-row pooling of the DYNAMIC (contact/friction) families.
+    #
+    # Pair tables are capacity-padded for the worst case, but the CG loop,
+    # preconditioner, and PD projection pay per ROW: at drape the bench's
+    # contact tables hold ~14k rows of which <1k are live. The pool gathers
+    # just the active rows (selection frozen with the pair topology) into a
+    # small fixed-capacity block appended after the static families —
+    # downstream cost then scales with LIVE pairs, not capacities.
+    # ------------------------------------------------------------------
+    _DYN_PREFIX = ("contact_", "friction_")
+
+    def _is_dyn(name: str) -> bool:
+        return name.startswith(_DYN_PREFIX)
+
+    def _pad_conn_b(fd, b):
+        conn = fd["conn"]
+        act = fd["rows"]["active"] > 0.5
+        conn = jnp.where(act[:, None], conn, n_blocks)
+        a = conn.shape[1]
+        if a < b:
+            pad = jnp.full((conn.shape[0], b - a), n_blocks, conn.dtype)
+            conn = jnp.concatenate([conn, pad], axis=1)
+        return conn
+
+    def bucket_conn_pool(data, pool_cap: int):
+        """Consolidated connectivity with dynamic families pooled: returns
+        (conn_cat {b: (E_static+pool_cap, b)}, pool_sel (pool_cap,),
+        pool_count). pool_sel indexes the canonical concat of dynamic
+        family rows; pool_count > pool_cap signals overflow (bump +
+        re-trace)."""
+        b = _max_arity
+        stat_parts, dyn_parts, dyn_act = [], [], []
+        for name in sorted(data.keys()):
+            fd = data[name]
+            (dyn_parts if _is_dyn(name) else stat_parts).append(
+                _pad_conn_b(fd, b))
+            if _is_dyn(name):
+                dyn_act.append(fd["rows"]["active"] > 0.5)
+        parts = list(stat_parts)
+        if dyn_parts:
+            from ..ops.compaction import compact_indices
+
+            conn_dyn = (jnp.concatenate(dyn_parts, axis=0)
+                        if len(dyn_parts) > 1 else dyn_parts[0])
+            act = (jnp.concatenate(dyn_act) if len(dyn_act) > 1 else dyn_act[0])
+            sel, cnt = compact_indices(act, pool_cap)
+            valid = jnp.arange(pool_cap) < jnp.minimum(cnt, pool_cap)
+            conn_pool = jnp.where(valid[:, None], conn_dyn[sel], n_blocks)
+            parts.append(conn_pool)
+        else:
+            sel = jnp.zeros((pool_cap,), jnp.int32)
+            cnt = jnp.zeros((), jnp.int32)
+            parts.append(jnp.full((pool_cap, b), n_blocks, jnp.int32))
+        conn_cat = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        return {b: conn_cat}, sel, cnt
+
+    def _pad_h(H, d):
+        if H.shape[-1] < d:
+            p = d - H.shape[-1]
+            H = jnp.pad(H, ((0, 0), (0, p), (0, p)))
+        return H
+
+    def pool_dyn_hess(hess, pool_sel):
+        """Pooled dynamic-family element Hessians: (pool_cap, 3b, 3b) in
+        bucket_conn_pool's row order. Rows past the live count carry
+        arbitrary data — the pooled conn masks them out of every consumer."""
+        b = _max_arity
+        d = 3 * b
+        dyn = [_pad_h(hess[n], d) for n in sorted(hess.keys()) if _is_dyn(n)]
+        if not dyn:
+            return jnp.zeros((pool_sel.shape[0], d, d),
+                             next(iter(hess.values())).dtype if hess
+                             else jnp.float32)
+        H_dyn = jnp.concatenate(dyn, axis=0) if len(dyn) > 1 else dyn[0]
+        return H_dyn[pool_sel]
+
+    def cat_hess_with_pool(hess_stat, H_pool):
+        """Consolidated Hessians matching bucket_conn_pool's layout: padded
+        static families in canonical order, then the (projected) pool."""
+        b = _max_arity
+        d = 3 * b
+        parts = [_pad_h(hess_stat[n], d) for n in sorted(hess_stat.keys())]
+        parts.append(H_pool)
+        return {b: (jnp.concatenate(parts, axis=0)
+                    if len(parts) > 1 else parts[0])}
+
+    def split_dyn(names):
+        """(static_names, dynamic_names) in canonical (sorted) order."""
+        names = sorted(names)
+        return ([n for n in names if not _is_dyn(n)],
+                [n for n in names if _is_dyn(n)])
+
     def bucket_conn(data):
         """Consolidated effective connectivity per bucket: (Eb, b) int32 with
         value n_blocks for arity padding and for inactive rows (so padded
@@ -404,6 +497,88 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
                 num_segments=n_blocks + 1)
         return D[:-1]
 
+    # ------------------------------------------------------------------
+    # dense direct linear solve (small scenes).
+    #
+    # At bench scale (~1.1k blocks / 3.3k DOF) the CG loop is launch-bound:
+    # ~0.4 ms/iteration x 60-160 iterations per Newton step. A dense
+    # Jacobi-scaled Cholesky costs ~1.9 ms on the MXU — the hard part is
+    # ASSEMBLY: XLA scatter-add runs ~9 ns/value (3.2M element-Hessian
+    # entries -> 29 ms). Solution: sort the block-pair ids ONCE per pair
+    # rebuild (topology-frozen), then each iteration reduces the sorted
+    # value runs with one f64 cumsum + boundary gathers and scatter-SETS
+    # only the ~unique-block values (~0.4 ms). Exact directions also
+    # replace the forcing-sequence inexactness entirely.
+    # ------------------------------------------------------------------
+    def direct_tables(conn_cat, slot_cap: int):
+        """Per-rebuild sorted block-pair layout: (order, starts, pid_start,
+        n_slots). n_slots > slot_cap signals overflow (bump + re-trace)."""
+        from ..ops.compaction import compact_indices
+
+        b = _max_arity
+        conn = conn_cat[b]
+        N1 = n_blocks + 1
+        cl = jnp.minimum(conn, n_blocks).astype(jnp.int32)
+        pid = cl[:, :, None] * N1 + cl[:, None, :]
+        dummy = (cl[:, :, None] >= n_blocks) | (cl[:, None, :] >= n_blocks)
+        pid = jnp.where(dummy, N1 * N1 - 1, pid).reshape(-1)
+        order = jnp.argsort(pid).astype(jnp.int32)
+        pid_sorted = pid[order]
+        is_start = jnp.concatenate([
+            jnp.ones((1,), bool), pid_sorted[1:] != pid_sorted[:-1]])
+        starts, n_slots = compact_indices(is_start, slot_cap)
+        valid = jnp.arange(slot_cap) < jnp.minimum(n_slots, slot_cap)
+        pid_start = jnp.where(valid, pid_sorted[starts], N1 * N1 - 1)
+        return order, starts, pid_start, n_slots
+
+    def direct_solve(grad, H_cat, dtab):
+        """du = -H^{-1} grad via dense Jacobi-scaled Cholesky over the
+        sorted block-pair layout. Returns (du, ok). Requires PSD element
+        Hessians (ProjectedNewton mode)."""
+        b = _max_arity
+        N1 = n_blocks + 1
+        order, starts, pid_start, _ = dtab
+        H = H_cat[b]
+        E_cat = H.shape[0]
+        Hb = H.reshape(E_cat, b, 3, b, 3).transpose(0, 1, 3, 2, 4)
+        vals = Hb.reshape(-1, 9)[order]
+        # f64 cumsum: f32 running sums over ~3M stiffness-scale entries
+        # would leak O(1) absolute error into small off-diagonal blocks
+        csum = jnp.cumsum(vals.astype(jnp.float64), axis=0)
+        R2 = vals.shape[0]
+        slot_cap = starts.shape[0]
+        n_slots = dtab[3]
+        # next run boundary; the LAST valid slot ends at R2 (padded starts
+        # are 0, so the raw shift would corrupt it)
+        nxt = jnp.concatenate([starts[1:], jnp.full((1,), R2, starts.dtype)])
+        has_next = jnp.arange(slot_cap) + 1 < jnp.minimum(n_slots, slot_cap)
+        nxt = jnp.where(has_next, nxt, R2)
+        hi = jnp.clip(nxt - 1, 0, R2 - 1)
+        lo_ok = starts > 0
+        base = jnp.where(lo_ok[:, None],
+                         csum[jnp.clip(starts - 1, 0, R2 - 1)], 0.0)
+        sums = (csum[hi] - base).astype(H.dtype)
+        D4 = jnp.zeros((N1 * N1, 9), H.dtype)
+        D4 = D4.at[pid_start].set(sums)
+        D4 = D4.at[N1 * N1 - 1].set(0.0)  # dummy bin
+        n = 3 * n_blocks
+        D = D4.reshape(N1, N1, 3, 3)[:n_blocks, :n_blocks]
+        D = D.transpose(0, 2, 1, 3).reshape(n, n)
+        dg = jnp.diagonal(D)
+        ok_d = dg > 1e-30
+        s = jnp.where(ok_d, jax.lax.rsqrt(jnp.maximum(dg, 1e-30)), 1.0)
+        Hs = D * s[:, None] * s[None, :]
+        # identity rows for untouched blocks (padding safety)
+        Hs = Hs + jnp.diag(jnp.where(ok_d, 0.0, 1.0).astype(H.dtype))
+        L = jax.lax.linalg.cholesky(Hs)
+        rhs = (-grad.reshape(-1) * s)[:, None]
+        y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+        x = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                            transpose_a=True)
+        du = (x[:, 0] * s).reshape(n_blocks, 3)
+        ok = jnp.all(jnp.isfinite(du))
+        return jnp.where(ok, du, 0.0), ok
+
     class Evaluators:
         pass
 
@@ -420,6 +595,12 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
     ev.hvp_table = hvp_table
     ev.bucket_conn = bucket_conn
     ev.bucket_hess = bucket_hess
+    ev.bucket_conn_pool = bucket_conn_pool
+    ev.pool_dyn_hess = pool_dyn_hess
+    ev.cat_hess_with_pool = cat_hess_with_pool
+    ev.split_dyn = split_dyn
+    ev.direct_tables = direct_tables
+    ev.direct_solve = direct_solve
     ev.scatter_rows = scatter_rows
     ev.scatter_table_rows = scatter_table_rows
     ev.hvp_bucket = hvp_bucket

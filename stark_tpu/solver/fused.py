@@ -92,8 +92,15 @@ def build_fused_solve(nm, engine):
 
     # monitor every capacity-bounded buffer for overflow; n_live_* keys are
     # metrics (live pair counts at build states), skipped by the cap check
+    # in-program lagged-friction tables (the reference's once-per-step dt=0
+    # pass, EnergyFrictionalContact.cpp:531-773) — removes the host friction
+    # refresh and its device round trips entirely when friction is active
+    use_ff = (engine is not None and nm.fused_friction
+              and engine.friction_enabled_now())
     if engine is not None:
         cand_keys = engine.broad_count_keys() + engine.pair_count_keys()
+        if use_ff:
+            cand_keys += engine.friction_count_keys()
         r_max = engine.max_rigid_lever()
         n_soft = engine.n_soft
         isect_on = engine.model.global_params.intersection_test_enabled
@@ -102,14 +109,24 @@ def build_fused_solve(nm, engine):
         r_max = 0.0
         n_soft = n_blocks
         isect_on = False
-    count_keys = list(cand_keys)
+    count_keys = list(dict.fromkeys(cand_keys)) + ["hvp_pool", "direct_slots"]
     key_slot = {k: i for i, k in enumerate(count_keys)}
+    hvp_pool_slot = key_slot["hvp_pool"]
+    direct_slot = key_slot["direct_slots"]
     n_counts = len(count_keys)
+    pool_cap = nm._pool_cap
+    # dense direct linear solve for small scenes (assembly.direct_solve):
+    # requires PSD element Hessians, so ProjectedNewton only
+    use_direct = (s.projection_mode.name == "ProjectedNewton"
+                  and n_blocks <= nm._direct_max_blocks)
+    slot_cap = nm._slot_cap
 
     def _counts_arr(counts: dict):
         arr = jnp.zeros((n_counts,), jnp.int32)
         for k, v in counts.items():
-            arr = arr.at[key_slot[k]].set(v.astype(jnp.int32))
+            # max, not set: grid g_* keys can appear from both the contact
+            # and the friction pipelines within one program
+            arr = arr.at[key_slot[k]].max(v.astype(jnp.int32))
         return arr
 
     def _world(u, eng_state, dt, dtype):
@@ -143,10 +160,26 @@ def build_fused_solve(nm, engine):
         x_scale = (1.0 + jnp.max(jnp.abs(glob["x0"]))
                    if "x0" in glob else jnp.asarray(1.0, ftype))
 
+        if use_ff:
+            # dt=0 world positions (x1 = x0, rigid at q0/t0): the lagged
+            # anchors freeze at the step-start state exactly like the
+            # reference's before_time_step pass. mu rides in as a glob
+            # argument so set_friction takes effect without a re-trace.
+            zero_dt = jnp.asarray(0.0, u0.dtype)
+            Vs0, Vr0 = engine.world_from_u(jnp.zeros_like(u0), eng_state,
+                                           zero_dt)
+            ff_tables, ff_counts = engine.friction_tables(
+                Vs0, Vr0, th_vec, glob["mu_mat"], glob["contact_k"])
+            friction_tabs = ff_tables
+            counts_ff = _counts_arr(ff_counts)
+        else:
+            friction_tabs = friction_data
+            counts_ff = jnp.zeros((n_counts,), jnp.int32)
+
         def full_data(tables):
             data = dict(static_data)
             data.update(tables)
-            data.update(friction_data)
+            data.update(friction_tabs)
             return data
 
         def disp_from(V_pair, Vs, Vr):
@@ -175,7 +208,8 @@ def build_fused_solve(nm, engine):
         def pair_build(u, bcands):
             """The cheap pair-shell build: exact distances over the frozen
             broad buffers + the consolidated CG connectivity/scatter rows
-            (conn frozen between pair rebuilds; no sorting anywhere)."""
+            with the dynamic families' ACTIVE rows pooled (no sorting
+            anywhere; frozen between pair rebuilds)."""
             if engine is not None:
                 Vs, Vr = _world(u, eng_state, dt, ftype)
                 tables, counts = engine.pairs_fn(Vs, Vr, th_vec, bcands, slack_p)
@@ -185,9 +219,17 @@ def build_fused_solve(nm, engine):
                 Vr = jnp.zeros((0, 3), ftype)
                 tables = {}
                 carr = jnp.zeros((n_counts,), jnp.int32)
-            conn_cat = ev.bucket_conn(full_data(tables))
+            conn_cat, pool_sel, pool_cnt = ev.bucket_conn_pool(
+                full_data(tables), pool_cap)
             rows = ev.scatter_rows(conn_cat)
-            return tables, conn_cat, rows, (Vs, Vr), carr
+            carr = carr.at[hvp_pool_slot].max(pool_cnt.astype(jnp.int32))
+            if use_direct:
+                dtab = ev.direct_tables(conn_cat, slot_cap)
+                carr = carr.at[direct_slot].max(dtab[3].astype(jnp.int32))
+            else:
+                dtab = ()
+            return (tables, conn_cat, rows, pool_sel, pool_cnt, dtab,
+                    (Vs, Vr), carr)
 
         def isect_hit(u, icands):
             """Exact intersection tests over the frozen candidates."""
@@ -206,7 +248,8 @@ def build_fused_solve(nm, engine):
             bcands0, icands0 = {}, {}
             Vb0 = (jnp.zeros((0, 3), ftype), jnp.zeros((0, 3), ftype))
         p_sh = jax.eval_shape(pair_build, u0, bcands0)
-        tables0, conn0, rows0, Vp0, _c = jax.tree_util.tree_map(
+        (tables0, conn0, rows0, psel0, pcnt0, dtab0, Vp0,
+         _c) = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), p_sh)
 
         class Carry(NamedTuple):
@@ -233,6 +276,9 @@ def build_fused_solve(nm, engine):
             tables: dict
             conn_cat: dict
             rows: jnp.ndarray  # flat scatter row ids (frozen with the conn)
+            pool_sel: jnp.ndarray   # active-row pool selection (see assembly)
+            pool_cnt: jnp.ndarray
+            dtab: tuple             # direct-solve sorted layout (may be ())
             Vp: tuple
             du_prev: jnp.ndarray
             force_rb: jnp.ndarray
@@ -266,10 +312,12 @@ def build_fused_solve(nm, engine):
             disp_b = jnp.where(need_b, 0.0, disp_b)
 
             need_p = need_b | (disp_p > 0.45 * slack_p)
-            tables, conn_cat, rows, Vp, carr_p = lax.cond(
+            (tables, conn_cat, rows, pool_sel, pool_cnt, dtab, Vp,
+             carr_p) = lax.cond(
                 need_p,
                 lambda _: pair_build(u, bcands),
-                lambda _: (c.tables, c.conn_cat, c.rows, c.Vp, counts_max),
+                lambda _: (c.tables, c.conn_cat, c.rows, c.pool_sel,
+                           c.pool_cnt, c.dtab, c.Vp, counts_max),
                 operand=None)
             counts_max = jnp.maximum(counts_max, carr_p)
 
@@ -316,35 +364,64 @@ def build_fused_solve(nm, engine):
                    & (res / jnp.maximum(res0, 1e-30) < params["residual_tolerance_rel"])) \
                 | (past_min & (stall >= 2))
 
-            # PD projection (NewtonsMethod.cpp:254-352, ProjectedNewton mode)
+            # PD projection (NewtonsMethod.cpp:254-352, ProjectedNewton
+            # mode): static families project per family (native dims), the
+            # dynamic families project as ONE pooled stack of live rows —
+            # projection cost scales with live pairs, not capacities.
+            # Padded pool dims are zero rows/cols: their eigenvalues clamp
+            # to eps, adding eps on the dummy block only (routed away).
+            stat_names, _dyn_names = ev.split_dyn(hess.keys())
+            hess_stat = {n: hess[n] for n in stat_names}
+            H_pool = ev.pool_dyn_hess(hess, pool_sel)
+            pool_valid = jnp.arange(pool_cap) < jnp.minimum(pool_cnt, pool_cap)
             if do_project:
-                hess_p, n_proj = project.project_all(
-                    hess, eps, mirroring, data, jacobi_sweeps=nm._jacobi_sweeps)
+                hess_stat_p, n_proj = project.project_all(
+                    hess_stat, eps, mirroring,
+                    {n: data[n] for n in stat_names},
+                    jacobi_sweeps=nm._jacobi_sweeps)
+                if pool_cap:
+                    H_pool, ch = project.project_family_to_pd(
+                        H_pool, eps, mirroring, elem_mask=pool_valid,
+                        jacobi_sweeps=nm._jacobi_sweeps)
+                    n_proj = n_proj + jnp.sum(ch.astype(jnp.int32))
             else:
-                hess_p, n_proj = hess, jnp.zeros((), jnp.int32)
-            n_hess = project.count_elements(hess, data)
+                hess_stat_p, n_proj = hess_stat, jnp.zeros((), jnp.int32)
+            n_hess = (project.count_elements(hess_stat, data)
+                      + jnp.minimum(pool_cnt, pool_cap).astype(jnp.int32))
 
             # BDPCG with forcing sequence (NewtonsMethod.cpp:423) over the
-            # two-bucket consolidated layout: the scatter table is frozen
-            # with the pair topology, only the element Hessians are
-            # re-consolidated per iteration
-            forcing = jnp.minimum(1e-2, res * jnp.minimum(0.5, jnp.sqrt(res)))
-            abs_tol = jnp.maximum(forcing, params["cg_abs_tolerance"])
-            H_cat = ev.bucket_hess(hess_p, data)
-            D = ev.diag_bucket(conn_cat, H_cat)
-            Dinv = assembly.precondition_inverse(D)
-            A = lambda p: ev.hvp_bucket(p, conn_cat, H_cat, rows)
-            Minv = lambda r: assembly.apply_preconditioner(Dinv, r)
-            cg = solve_pcg(A, Minv, -grad, abs_tol, params["cg_rel_tolerance"],
-                           s.cg_max_iterations, s.cg_stop_on_indefiniteness)
-            du = cg.x
+            # pooled single-bucket layout: the scatter rows and pool
+            # selection are frozen with the pair topology, only the element
+            # Hessians are re-consolidated per iteration
+            H_cat = ev.cat_hess_with_pool(hess_stat_p, H_pool)
+            if use_direct:
+                # exact dense solve (assembly.direct_solve): replaces the
+                # whole PCG loop at small scales AND the forcing-sequence
+                # inexactness
+                du, dok = ev.direct_solve(grad, H_cat, dtab)
+                cg_n = jnp.zeros((), jnp.int32)
+                cg_ok = dok
+            else:
+                forcing = jnp.minimum(
+                    1e-2, res * jnp.minimum(0.5, jnp.sqrt(res)))
+                abs_tol = jnp.maximum(forcing, params["cg_abs_tolerance"])
+                D = ev.diag_bucket(conn_cat, H_cat)
+                Dinv = assembly.precondition_inverse(D)
+                A = lambda p: ev.hvp_bucket(p, conn_cat, H_cat, rows)
+                Minv = lambda r: assembly.apply_preconditioner(Dinv, r)
+                cg = solve_pcg(A, Minv, -grad, abs_tol,
+                               params["cg_rel_tolerance"],
+                               s.cg_max_iterations, s.cg_stop_on_indefiniteness)
+                du = cg.x
+                cg_n = cg.n_iterations
+                cg_ok = cg.converged
             dug = jnp.vdot(du, grad)
             du_max = jnp.max(jnp.abs(du))
             reach_du = du_reach(du)
             step_conv = past_min & (du_max < params["step_tolerance"])
             # Newton-decrement convergence at the precision noise floor
             dec_conv = jnp.abs(dug) < 4.0 * noise
-            lin_fail = jnp.logical_not(cg.converged) \
+            lin_fail = jnp.logical_not(cg_ok) \
                 | ((dug >= 0.0) & jnp.logical_not(dec_conv))
 
             # -------- line search (NewtonsMethod.cpp:459-641) --------
@@ -455,7 +532,7 @@ def build_fused_solve(nm, engine):
 
             return Carry(
                 u=u_out, it=c.it + 1, res0=res0, done=done, code=code,
-                cg_total=c.cg_total + cg.n_iterations,
+                cg_total=c.cg_total + cg_n,
                 ls_cap=c.ls_cap + capped.astype(jnp.int32),
                 ls_max=c.ls_max + maxed.astype(jnp.int32),
                 ls_inv=c.ls_inv + inv_it,
@@ -464,7 +541,8 @@ def build_fused_solve(nm, engine):
                 n_hess=c.n_hess + n_hess.astype(jnp.int32),
                 res=res, E0=E0, stall=stall, counts_max=counts_max,
                 bcands=bcands, icands=icands, Vb=Vb, slack_b=slack_b,
-                tables=tables, conn_cat=conn_cat, rows=rows, Vp=Vp,
+                tables=tables, conn_cat=conn_cat, rows=rows,
+                pool_sel=pool_sel, pool_cnt=pool_cnt, dtab=dtab, Vp=Vp,
                 du_prev=reach_du, force_rb=force_rb,
             )
 
@@ -475,9 +553,10 @@ def build_fused_solve(nm, engine):
                      code=z32, cg_total=z32, ls_cap=z32, ls_max=z32,
                      ls_inv=z32, ls_bt=z32,
                      n_proj=z32, n_hess=z32, res=zf, E0=jnp.zeros((), jnp.float64),
-                     stall=z32, counts_max=jnp.zeros((n_counts,), jnp.int32),
+                     stall=z32, counts_max=counts_ff,
                      bcands=bcands0, icands=icands0, Vb=Vb0, slack_b=zf,
-                     tables=tables0, conn_cat=conn0, rows=rows0, Vp=Vp0,
+                     tables=tables0, conn_cat=conn0, rows=rows0,
+                     pool_sel=psel0, pool_cnt=pcnt0, dtab=dtab0, Vp=Vp0,
                      du_prev=params["du_prior"].astype(ftype),
                      force_rb=jnp.zeros((), bool))
         final = lax.while_loop(cond, body, init)

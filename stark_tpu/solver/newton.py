@@ -96,7 +96,11 @@ class NewtonsMethod:
         self.get_friction_data = get_friction_data
         self.get_engine = get_engine
         self.prime_host_dofs = prime_host_dofs
-        self.fused_friction = False
+        # generate the lagged-friction tables INSIDE the fused program
+        # (fused.py use_ff): removes the per-step host friction refresh and
+        # its device round trips. The staged fallback still refreshes on
+        # the host (contact._before_time_step checks _fused_eligible).
+        self.fused_friction = True
         self.stats = SolveStats()
         self._fused_jit = None
         self._fused_count_keys = []
@@ -107,12 +111,27 @@ class NewtonsMethod:
         self._hvp_K = 128
         self._hvp_K2 = 256
         self._hvp_hot = 8
+        # active-row pool capacity for the dynamic (contact/friction)
+        # families (assembly.bucket_conn_pool): CG/projection cost scales
+        # with this, so it is sized for realistic live-pair counts (the
+        # 32x32 bench drape peaks under 2k) and doubles on overflow
+        self._pool_cap = 8
         if get_engine is not None and get_engine() is not None:
             eng = get_engine()
+            # drape-measured: live (d <= dhat+slack_p) rows exceed n_edges
+            # on layered cloth; one power of two above that avoids the
+            # mid-run bump
+            need = max(2048, 2 * len(eng.sv_gid) + len(eng.es))
+            self._pool_cap = 1 << (need - 1).bit_length()
             if len(eng.rv_body):
                 # every rb-involving pair row lands on the same v/w blocks
                 self._hvp_K2 = 4096
                 self._hvp_hot = max(8, 4 * len(np.unique(eng.rv_body)))
+        # dense direct linear solve (assembly.direct_solve): exact Newton
+        # directions in ~4 ms beat 60-160 launch-bound CG iterations up to
+        # a few thousand blocks (cholesky is O(n^3) past that)
+        self._direct_max_blocks = 2048
+        self._slot_cap = max(65536, 32 * n_blocks)
         # motion prior (max |du| of the last accepted solve) seeding the
         # frozen-candidate slack at iteration 0 (fused.py)
         self._du_prior = 1.0
@@ -226,13 +245,18 @@ class NewtonsMethod:
         if engine is not None:
             eng_state = engine.engine_state()
             dhat = engine._th_vec()
-            # pair slack ~ one dhat; broad slack floor covers a couple of
-            # pair shells even at rest
+            # slack sizing: the pair shell holds pairs out to
+            # dhat + slack_pair (these rows feed energies/Hessians — keep
+            # tight); the broad shell's radius directly multiplies the
+            # per-row candidate counts (c_* caps) and the [max] stride
+            # budget. Rebuilds are cheap post-top_k (~5-10 ms), so small
+            # shells rebuilt often beat big shells: halving slack_broad
+            # cut the drape-peak c_ee_dd row count ~4x.
             dhat_max = 2.0 * float(np.max(np.asarray(
                 engine.model.contact_thicknesses)))
-            slack_pair = dhat_max
-            slack_broad_min = 4.0 * dhat_max
-            slack_broad_max = 8.0 * dhat_max
+            slack_pair = 0.5 * dhat_max
+            slack_broad_min = 2.0 * dhat_max
+            slack_broad_max = 4.0 * dhat_max
         else:
             eng_state = {}
             dhat = jnp.zeros((0, 0), dtype)
@@ -270,20 +294,21 @@ class NewtonsMethod:
                 u_np, packed, counts = jax.device_get((u_out, packed, counts_dev))
                 overflow = False
                 keys = self._fused_count_keys
-                if "hvp_deg" in keys:
-                    deg = int(counts[keys.index("hvp_deg")])
-                    if deg > self._hvp_K + self._hvp_K2:
-                        while self._hvp_K + self._hvp_K2 < deg:
-                            self._hvp_K2 *= 2
+                if "hvp_pool" in keys:
+                    live = int(counts[keys.index("hvp_pool")])
+                    if live > self._pool_cap:
+                        while self._pool_cap < live:
+                            self._pool_cap *= 2
                         overflow = True
-                if "hvp_hot" in keys:
-                    hot = int(counts[keys.index("hvp_hot")])
-                    if hot > self._hvp_hot:
-                        while self._hvp_hot < hot:
-                            self._hvp_hot *= 2
+                if "direct_slots" in keys:
+                    nnz = int(counts[keys.index("direct_slots")])
+                    if nnz > self._slot_cap:
+                        while self._slot_cap < nnz:
+                            self._slot_cap *= 2
                         overflow = True
                 eng_kc = [(k, c) for k, c in zip(keys, counts)
-                          if k not in ("hvp_deg", "hvp_hot")]
+                          if k not in ("hvp_deg", "hvp_hot", "hvp_pool",
+                                       "direct_slots")]
                 if engine is not None and eng_kc and engine._check_overflow(
                         [k for k, _ in eng_kc], [c for _, c in eng_kc]):
                     overflow = True

@@ -31,7 +31,7 @@ def main():
         t0 = time.perf_counter()
         eng = self.get_engine() if self.get_engine is not None else None
         caps = dict(eng._caps) if eng is not None else {}
-        print(f"  [diag] _build_fused #{retraces[0]} hvp_K={self._hvp_K} "
+        print(f"  [diag] _build_fused #{retraces[0]} pool={self._pool_cap} "
               f"caps={caps}", flush=True)
         r = orig_build(self)
         print(f"  [diag] _build_fused #{retraces[0]} done "
