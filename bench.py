@@ -64,13 +64,15 @@ def main():
     logger = sim.get_logger()
     warm_newton = logger.get_stats("newton_iterations").total
 
-    pair_acc = {"total": 0, "last": 0}
+    pair_acc = {"total": 0, "last": 0, "pool_max": 0}
 
     def track_pairs():
         nm = sim.stark.newton
         if nm is not None:
             pair_acc["last"] = nm.live_contact_pairs()
             pair_acc["total"] += pair_acc["last"]
+            pair_acc["pool_max"] = max(pair_acc["pool_max"],
+                                       nm._last_counts.get("hvp_pool", 0))
 
     t0 = time.perf_counter()
     t_sim0 = sim.get_time()
@@ -101,6 +103,9 @@ def main():
         "newton_iters": int(newton_iters),
         "wall_s": round(wall, 2),
         "fused_retraces": int(logger.get_int("fused_retraces")),
+        "broad_rebuilds": int(logger.get_stats("broad_rebuilds").total),
+        "pair_rebuilds": int(logger.get_stats("pair_rebuilds").total),
+        "pool_rows_max": int(pair_acc["pool_max"]),
         "dtype": dtype,
     }
 

@@ -324,6 +324,20 @@ class EnergyFrictionalContact:
             self._engine.refresh_friction(self.stark.dt)
         return self._engine.current_family_data()
 
+    def friction_family_data(self):
+        """Host friction tables with the same lazy-refresh guard as
+        dynamic_family_data (a staged solve after a fused-eligible
+        _before_time_step emptied the host dict must not silently run
+        frictionless)."""
+        if self._engine is None or not self.enabled \
+                or not self.global_params.friction_enabled:
+            return {}
+        if self.stark.settings.simulation.init_frictional_contact \
+                and not self._engine._friction_data \
+                and self._engine.friction_enabled_now():
+            self._engine.refresh_friction(self.stark.dt)
+        return dict(self._engine._friction_data)
+
     def glob_entries(self):
         if self._engine is None or not self.enabled:
             return {}

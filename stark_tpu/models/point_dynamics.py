@@ -210,9 +210,16 @@ class PointDynamics:
 
     def host_x1(self, dt) -> np.ndarray:
         """Cached host mirror of x1, derived from the host mirrors of x0 and
-        v1 (no device pull when the solver has primed v1)."""
+        v1 (no device pull when the solver has primed v1). Computed IN THE
+        SIMULATION DTYPE so the mirror tracks the device roll exactly —
+        f64 host arithmetic over an f32 device roll accumulates an
+        eps32-per-step drift between the host-visible positions and the
+        actual device state."""
         if self._host_x1 is None:
-            self._host_x1 = self.host_x_all() + dt * self.host_v1()
+            d = np.dtype(np.asarray(self.x0).dtype) if self.frozen \
+                else np.float64
+            self._host_x1 = (self.host_x_all().astype(d)
+                             + d.type(dt) * self.host_v1().astype(d))
         return self._host_x1
 
     # -- glob contribution for energy functions --

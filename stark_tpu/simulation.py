@@ -75,11 +75,7 @@ class Simulation:
             get_glob=self._get_glob,
             get_data=self._get_data,
             get_static_data=self._get_static_data,
-            get_friction_data=lambda: dict(
-                self.interactions.contact._engine._friction_data)
-            if (self.interactions.contact._engine is not None
-                and self.interactions.contact.enabled
-                and self.interactions.contact.global_params.friction_enabled) else {},
+            get_friction_data=lambda: self.interactions.contact.friction_family_data(),
             get_engine=lambda: (self.interactions.contact._engine
                                 if self.interactions.contact.enabled else None),
             prime_host_dofs=self._prime_host_dofs,

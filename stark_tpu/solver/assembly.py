@@ -47,6 +47,19 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
     # reduce of an f32 element vector costs ~nothing next to the Hessians.
     _ACC = jnp.float64
 
+    def _scatter_rows_payload(rows, payload):
+        """(R,) block ids + (R, W) payload -> (n_blocks, W) sum. One-hot
+        MXU matmul below _ONEHOT_MAX_BLOCKS (deterministic, exact one-hot
+        entries, HIGHEST forces the f32 accumulate path), segment_sum
+        above. Rows may repeat arbitrarily; zero payload rows are inert."""
+        if n_blocks <= _ONEHOT_MAX_BLOCKS:
+            oh = (rows[:, None] ==
+                  jnp.arange(n_blocks, dtype=rows.dtype)[None, :]
+                  ).astype(payload.dtype)
+            return jax.lax.dot_general(oh, payload, (((0,), (0,)), ((), ())),
+                                       precision=jax.lax.Precision.HIGHEST)
+        return jax.ops.segment_sum(payload, rows, num_segments=n_blocks)
+
     def energy(u, data, glob):
         E = jnp.zeros((), dtype=_ACC)
         for name, fd in data.items():
@@ -58,7 +71,7 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
 
     def energy_grad(u, data, glob):
         E = jnp.zeros((), dtype=_ACC)
-        grad = jnp.zeros((n_blocks, 3), dtype=u.dtype)
+        rows_parts, g_parts = [], []
         for name, fd in data.items():
             fam = fam_by_name[name]
             u_e = _gather(u, fd["conn"])
@@ -67,9 +80,11 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             mask = _active_mask(fd["rows"])
             E = E + jnp.sum(jnp.where(mask, e, 0.0).astype(_ACC))
             g_e = jnp.where(mask[:, None, None], g_e, 0.0)
-            grad = grad + jax.ops.segment_sum(
-                g_e.reshape(-1, 3), fd["conn"].reshape(-1), num_segments=n_blocks)
-        return E, grad
+            rows_parts.append(fd["conn"].reshape(-1))
+            g_parts.append(g_e.reshape(-1, 3))
+        rows = jnp.concatenate(rows_parts) if len(rows_parts) > 1 else rows_parts[0]
+        g_flat = jnp.concatenate(g_parts) if len(g_parts) > 1 else g_parts[0]
+        return E, _scatter_rows_payload(rows, g_flat)
 
     def energy_grad_hess(u, data, glob):
         """Returns (E, aux, grad, {name: H (E, arity*3, arity*3)}). The
@@ -90,10 +105,15 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             residual the f32 evaluation can certify."""
         E = jnp.zeros((), dtype=_ACC)
         E_nsq = jnp.zeros((), dtype=_ACC)
-        grad = jnp.zeros((n_blocks, 3), dtype=u.dtype)
-        gsq = jnp.zeros((n_blocks, 3), dtype=u.dtype)
-        hsum = jnp.zeros((n_blocks, 3), dtype=u.dtype)
         hess: Dict[str, jnp.ndarray] = {}
+        # All per-block reductions (gradient, gradient square, |H| row sums)
+        # concatenate into ONE (R, 9) payload scattered by ONE one-hot MXU
+        # matmul (or one segment_sum past _ONEHOT_MAX_BLOCKS): the previous
+        # per-family segment_sums were ~30 XLA scatters per evaluation and
+        # dominated egh device time (scatters measured ~10-17 ns/row on v5e
+        # vs ~0.5 ms for the whole consolidated matmul).
+        rows_parts = []
+        payload_parts = []
         for name, fd in data.items():
             fam = fam_by_name[name]
             a = fam.arity
@@ -107,14 +127,7 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             E = E + jnp.sum(jnp.where(mask, e, 0.0).astype(_ACC))
             E_nsq = E_nsq + jnp.sum(jnp.where(mask, e, 0.0).astype(_ACC) ** 2)
             g_e = jnp.where(mask[:, None, None], g_e, 0.0)
-            # one scatter pass accumulates the gradient AND its square
-            # (columns 3:6) — the square feeds the residual noise floor
             g_flat = g_e.reshape(-1, 3)
-            both = jax.ops.segment_sum(
-                jnp.concatenate([g_flat, g_flat * g_flat], axis=-1),
-                fd["conn"].reshape(-1), num_segments=n_blocks)
-            grad = grad + both[:, :3]
-            gsq = gsq + both[:, 3:]
             H_e = H_e.reshape(H_e.shape[0], a * 3, a * 3)
             H_e = jnp.where(mask[:, None, None], H_e, 0.0)
             # enforce exact symmetry (autodiff roundoff) like the reference's
@@ -128,8 +141,17 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             # information at this dtype (the f32 cancellation floor the
             # quadrature g_nsq model cannot see)
             hrow = jnp.sum(jnp.abs(H_e), axis=2).reshape(-1, 3)
-            hsum = hsum + jax.ops.segment_sum(
-                hrow, fd["conn"].reshape(-1), num_segments=n_blocks)
+            rows_parts.append(fd["conn"].reshape(-1))
+            payload_parts.append(
+                jnp.concatenate([g_flat, g_flat * g_flat, hrow], axis=-1))
+        rows = jnp.concatenate(rows_parts) if len(rows_parts) > 1 \
+            else rows_parts[0]
+        payload = jnp.concatenate(payload_parts) if len(payload_parts) > 1 \
+            else payload_parts[0]
+        acc = _scatter_rows_payload(rows, payload)
+        grad = acc[:, :3]
+        gsq = acc[:, 3:6]
+        hsum = acc[:, 6:9]
         aux = {"e_nsq": E_nsq, "g_nsq": jnp.max(gsq).astype(_ACC),
                "hsum": hsum}
         return E, aux, grad, hess

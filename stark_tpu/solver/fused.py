@@ -282,6 +282,8 @@ def build_fused_solve(nm, engine):
             Vp: tuple
             du_prev: jnp.ndarray
             force_rb: jnp.ndarray
+            n_broad_rb: jnp.ndarray   # broad-shell rebuild count (stats)
+            n_pair_rb: jnp.ndarray    # pair-shell rebuild count (stats)
 
         def cond(c: Carry):
             return jnp.logical_and(jnp.logical_not(c.done), c.it < params["max_iterations"])
@@ -474,11 +476,11 @@ def build_fused_solve(nm, engine):
                 # as the trial energies (fusion-rounding bias cancellation)
                 E0a = energy(u, data, glob)
 
-                # halvings below one position ulp cannot change any f32
-                # coordinate: stop probing there (the exhaustion verdict
-                # below then applies)
+                # halvings below one position ulp cannot change any
+                # coordinate at this dtype: stop probing there (the
+                # exhaustion verdict below then applies)
                 disp1 = dt * reach_du * retraction  # world stride at step=1
-                step_floor = jnp.finfo(jnp.float32).eps * x_scale \
+                step_floor = jnp.finfo(ftype).eps * x_scale \
                     / jnp.maximum(disp1, 1e-30)
 
                 # noise-tolerant Armijo: accepting within one noise floor
@@ -499,17 +501,24 @@ def build_fused_solve(nm, engine):
                     (step, jnp.zeros((), jnp.int32), energy_at(step)))
                 bt_exhausted = (_E1 >= E0a + expected * step + noise) \
                     & ((bt_it >= max_bt) | (step <= step_floor))
-                # Exhausting the NOISE-TOLERANT Armijo means no probed step
-                # down to sub-ulp displacements decreased the energy beyond
-                # its rounding floor: the f32 gradient's descent claim is
-                # cancellation noise (measured: at res ~6e-4 the true
+                # f32: exhausting the NOISE-TOLERANT Armijo means no probed
+                # step down to sub-ulp displacements decreased the energy
+                # beyond its rounding floor: the f32 gradient's descent claim
+                # is cancellation noise (measured: at res ~6e-4 the true
                 # directional derivative was +1.6e-4 vs dug=-2.4e-6) and the
                 # state is converged at dtype resolution — NOT a line-search
-                # failure (the reference never reaches this floor: its f64
-                # noise sits ~1e9x lower). Genuine overshoot failures accept
-                # a shorter step long before exhaustion.
-                bt_fail = jnp.zeros((), bool)
-                bt_conv = bt_exhausted
+                # failure. f64 never reaches this floor legitimately (its
+                # noise sits ~1e9x lower), so there exhaustion keeps the
+                # reference's failure semantics: code 4 ->
+                # TooManyArmijoIterations -> adaptive-dt halving
+                # (NewtonsMethod.cpp:594-641, Stark.cpp:227-240).
+                _is_f32 = jnp.dtype(ftype) == jnp.dtype(jnp.float32)
+                if _is_f32:
+                    bt_fail = jnp.zeros((), bool)
+                    bt_conv = bt_exhausted
+                else:
+                    bt_fail = bt_exhausted
+                    bt_conv = jnp.zeros((), bool)
             else:
                 bt_it = jnp.zeros((), jnp.int32)
                 bt_fail = jnp.zeros((), bool)
@@ -544,6 +553,8 @@ def build_fused_solve(nm, engine):
                 tables=tables, conn_cat=conn_cat, rows=rows,
                 pool_sel=pool_sel, pool_cnt=pool_cnt, dtab=dtab, Vp=Vp,
                 du_prev=reach_du, force_rb=force_rb,
+                n_broad_rb=c.n_broad_rb + need_b.astype(jnp.int32),
+                n_pair_rb=c.n_pair_rb + need_p.astype(jnp.int32),
             )
 
         z32 = jnp.zeros((), jnp.int32)
@@ -558,7 +569,8 @@ def build_fused_solve(nm, engine):
                      tables=tables0, conn_cat=conn0, rows=rows0,
                      pool_sel=psel0, pool_cnt=pcnt0, dtab=dtab0, Vp=Vp0,
                      du_prev=params["du_prior"].astype(ftype),
-                     force_rb=jnp.zeros((), bool))
+                     force_rb=jnp.zeros((), bool),
+                     n_broad_rb=z32, n_pair_rb=z32)
         final = lax.while_loop(cond, body, init)
         # loop exhausted without done -> TooManyIterations (or success if configured)
         exhausted = jnp.logical_not(final.done)
@@ -582,6 +594,8 @@ def build_fused_solve(nm, engine):
             final.ls_bt.astype(jnp.float32), final.n_proj.astype(jnp.float32),
             final.n_hess.astype(jnp.float32), final.res.astype(jnp.float32),
             final.E0.astype(jnp.float32), final.du_prev.astype(jnp.float32),
+            final.n_broad_rb.astype(jnp.float32),
+            final.n_pair_rb.astype(jnp.float32),
         ])
         return final.u, packed, final.counts_max
 

@@ -216,6 +216,13 @@ class NewtonsMethod:
         from .fused import build_fused_solve
 
         engine = self.get_engine() if self.get_engine is not None else None
+        # record the friction-enablement the program is specialized on:
+        # mu values ride in as glob arguments (no re-trace needed), but
+        # whether the in-program friction tables exist AT ALL is baked in
+        # at trace time — _solve_fused rebuilds when this flips (e.g.
+        # set_friction called after a first all-zero-mu solve)
+        self._fused_use_ff = (engine is not None and self.fused_friction
+                              and engine.friction_enabled_now())
         fn, keys = build_fused_solve(self, engine)
         # No compiler-option overrides: the pair-buffer compaction uses the
         # blocked scan in ops/compaction.py precisely so the fused program
@@ -230,7 +237,10 @@ class NewtonsMethod:
         s = self.settings
         self.stats = SolveStats()
         engine = self.get_engine() if self.get_engine is not None else None
-        if self._fused_jit is None:
+        use_ff_now = (engine is not None and self.fused_friction
+                      and engine.friction_enabled_now())
+        if self._fused_jit is None or use_ff_now != getattr(
+                self, "_fused_use_ff", use_ff_now):
             self._build_fused()
 
         data_static = self.get_static_data()
@@ -339,6 +349,9 @@ class NewtonsMethod:
         st.ls_bt_iterations = int(packed[6])
         st.n_projected_hessians = int(packed[7])
         st.n_hessians = int(packed[8])
+        if len(packed) > 13:
+            self.logger.add_and_append("broad_rebuilds", int(packed[12]))
+            self.logger.add_and_append("pair_rebuilds", int(packed[13]))
         if st.n_hessians > 0:
             st.projected_hessians_ratio = st.n_projected_hessians / st.n_hessians
         self.logger.add_and_append("newton_iterations", st.newton_iterations)
@@ -696,13 +709,22 @@ class NewtonsMethod:
 
         if armijo_iterations == s.max_backtracking_armijo_iterations:
             if np.dtype(np.asarray(u0).dtype) == np.float32:
-                # f32: exhausting the noise-tolerant Armijo means no step
-                # decreased the energy beyond its rounding floor — the f32
-                # gradient's descent claim is cancellation noise and the
-                # state is converged at dtype resolution (see fused.py
-                # bt_conv). f64 keeps the reference's failure semantics.
-                self.set_dofs(u0)
-                return SolverReturn.Successful
+                # f32: exhaustion converts to convergence ONLY when the
+                # evidence says the descent claim was rounding noise: the
+                # final probed displacement is below one position ulp
+                # (mirrors fused.py step_floor) or the claimed decrease
+                # |beta*dug*step| is within the energy noise floor. A
+                # genuinely bad direction (macroscopic step, resolvable
+                # descent claim) keeps TooManyArmijoIterations -> dt halving.
+                eps32 = float(np.finfo(np.float32).eps)
+                glob_now = self.get_glob()
+                x_scale = (1.0 + float(jnp.max(jnp.abs(glob_now["x0"])))
+                           if "x0" in glob_now else 1.0)
+                disp = step * float(glob_now["dt"]) * du_max
+                if disp <= eps32 * x_scale or \
+                        abs(expected_decrease * step) <= max(noise, 0.0):
+                    self.set_dofs(u0)
+                    return SolverReturn.Successful
             self.output.print_with_new_line("Newton failure: Too many armijo iterations.", Verbosity.Medium)
             if s.print_line_search_upon_failure:
                 self._dump_line_search_profile(u0, du, E0, du_dot_grad)

@@ -1,10 +1,11 @@
 """Per-stage device timing of the FUSED solve path call sites.
 
 Times each collision/solver stage of the fused program in isolation (after
-warmup), matching the fused.py call sites: broad_build (engine.broad_fn),
-pair_build (engine.pairs_fn + scatter-table rebuild), isect_exact, egh,
-project_all, PCG — plus a finer breakdown inside the broad phase
-(per-block stage 1, compaction alone, intersection candidates alone).
+warmup), matching the fused.py call sites exactly: broad_build
+(engine.broad_fn), pair_build (engine.pairs_fn + pooled conn/scatter/direct
+tables), isect_exact, egh, projection (static + pooled), the linear solve
+(direct or PCG, matching fused.py's use_direct predicate), and the
+energy-only Armijo trial — plus a finer breakdown inside the broad phase.
 
 Usage: BENCH_N_QUADS=32 python tools/profile_fused.py
 """
@@ -21,7 +22,10 @@ import jax.numpy as jnp
 import bench
 
 
-def timeit(label, fn, n=10):
+RESULTS = {}
+
+
+def timeit(label, fn, n=10, key=None):
     out = fn()  # warmup/compile
     jax.block_until_ready(out)
     ts = []
@@ -32,6 +36,8 @@ def timeit(label, fn, n=10):
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
     print(f"  {label:<46} {dt*1000:10.3f} ms", flush=True)
+    if key:
+        RESULTS[key] = dt * 1000
     return dt
 
 
@@ -58,6 +64,8 @@ def main():
           f"ts={len(eng.ts)} rv={len(eng.rv_body)} er={len(eng.er)} tr={len(eng.tr)}",
           flush=True)
     print(f"caps: { {k: v for k, v in sorted(eng._caps.items())} }", flush=True)
+    print(f"pool_cap={nm._pool_cap} slot_cap={nm._slot_cap} "
+          f"n_blocks={nm.n_blocks}", flush=True)
 
     state = eng.engine_state()
     th = eng._th_vec()
@@ -65,16 +73,21 @@ def main():
     glob = nm.get_glob()
     sdata = nm.get_static_data()
     fdata = nm.get_friction_data() if nm.get_friction_data else {}
+    ev = nm._ev
+    use_direct = (nm.settings.projection_mode.name == "ProjectedNewton"
+                  and nm.n_blocks <= nm._direct_max_blocks)
+    print(f"use_direct={use_direct}", flush=True)
 
     world_jit = jax.jit(lambda u: eng.world_from_u(u, state, dt))
     Vs, Vr = world_jit(u)
     slack_b = jnp.asarray(0.016, eng.dtype)  # 8*dhat_max typical
     slack_p = jnp.asarray(0.004, eng.dtype)
 
-    timeit("world_from_u", lambda: world_jit(u))
+    timeit("world_from_u", lambda: world_jit(u), key="world_ms")
 
     broad_jit = jax.jit(lambda Vs, Vr: eng.broad_fn(Vs, Vr, th, slack_b))
-    timeit("broad_fn (FULL broad shell)", lambda: broad_jit(Vs, Vr))
+    timeit("broad_fn (FULL broad shell)", lambda: broad_jit(Vs, Vr),
+           key="broad_ms")
     bcands, icands, _counts = broad_jit(Vs, Vr)
 
     # --- breakdown: per-block stage 1 ---
@@ -109,65 +122,107 @@ def main():
         timeit(f"  compact_indices n={n} cap={cap}", lambda: cj(mask))
 
     pairs_jit = jax.jit(lambda Vs, Vr, bc: eng.pairs_fn(Vs, Vr, th, bc, slack_p))
-    timeit("pairs_fn (pair shell, no tables)", lambda: pairs_jit(Vs, Vr, bcands))
+    timeit("pairs_fn (pair tables only)", lambda: pairs_jit(Vs, Vr, bcands),
+           key="pairs_ms")
     tables, _pc = pairs_jit(Vs, Vr, bcands)
 
-    def full_data():
-        d = dict(sdata)
-        d.update(tables)
-        d.update(fdata)
-        return d
-
-    data = full_data()
-
-    def pair_build_full():
-        t, _ = eng.pairs_fn(Vs, Vr, th, bcands, slack_p)
+    def full_data(t):
         d = dict(sdata)
         d.update(t)
         d.update(fdata)
-        conn_cat = nm._ev.bucket_conn(d)
-        rows = nm._ev.scatter_rows(conn_cat)
-        table = nm._ev.scatter_table_rows(rows, nm._hvp_K, nm._hvp_hot, nm._hvp_K2)
-        return conn_cat, table
+        return d
+
+    data = full_data(tables)
+    pool_cap = nm._pool_cap
+    slot_cap = nm._slot_cap
+
+    # pair_build exactly as fused.py: pairs + pooled conn + scatter rows
+    # (+ direct tables when the direct path is active)
+    def pair_build_full():
+        t, _ = eng.pairs_fn(Vs, Vr, th, bcands, slack_p)
+        d = full_data(t)
+        conn_cat, pool_sel, pool_cnt = ev.bucket_conn_pool(d, pool_cap)
+        rows = ev.scatter_rows(conn_cat)
+        if use_direct:
+            dtab = ev.direct_tables(conn_cat, slot_cap)
+        else:
+            dtab = ()
+        return conn_cat, rows, pool_sel, pool_cnt, dtab
 
     pb_jit = jax.jit(pair_build_full)
-    timeit("pair_build (pairs + scatter table)", lambda: pb_jit())
-    conn_cat, entry = pb_jit()
+    timeit("pair_build (pairs+pool+rows+dtab)", lambda: pb_jit(),
+           key="pair_build_ms")
+    conn_cat, rows, pool_sel, pool_cnt, dtab = pb_jit()
 
     isx_jit = jax.jit(lambda Vs, Vr: eng._isect_exact(Vs, Vr, icands))
-    timeit("isect_exact", lambda: isx_jit(Vs, Vr))
+    timeit("isect_exact", lambda: isx_jit(Vs, Vr), key="isect_ms")
 
     egh_jit = jax.jit(nm._energy_grad_hess)
-    timeit("egh (energy+grad+hess)", lambda: egh_jit(u, data, glob))
-    E0, Eabs, grad, hess = egh_jit(u, data, glob)
+    timeit("egh (energy+grad+hess)", lambda: egh_jit(u, data, glob),
+           key="egh_ms")
+    E0, aux, grad, hess = egh_jit(u, data, glob)
 
     en_jit = jax.jit(nm._energy)
-    timeit("energy only", lambda: en_jit(u, data, glob))
+    timeit("energy only (Armijo trial)", lambda: en_jit(u, data, glob),
+           key="energy_ms")
 
     from stark_tpu.solver import project as project_mod
     s = nm.settings
-    pj = jax.jit(lambda h: project_mod.project_all(
-        h, s.projection_eps, s.project_to_pd_use_mirroring, data,
-        jacobi_sweeps=nm._jacobi_sweeps))
-    timeit(f"project_all (jacobi={nm._jacobi_sweeps})", lambda: pj(hess))
-    hess_p, _ = pj(hess)
+    stat_names, _dyn = ev.split_dyn(hess.keys())
+
+    def project_full(hess, pool_sel, pool_cnt):
+        hess_stat = {n: hess[n] for n in stat_names}
+        H_pool = ev.pool_dyn_hess(hess, pool_sel)
+        pool_valid = jnp.arange(pool_cap) < jnp.minimum(pool_cnt, pool_cap)
+        hess_stat_p, n_proj = project_mod.project_all(
+            hess_stat, s.projection_eps, s.project_to_pd_use_mirroring,
+            {n: data[n] for n in stat_names}, jacobi_sweeps=nm._jacobi_sweeps)
+        if pool_cap:
+            H_pool, ch = project_mod.project_family_to_pd(
+                H_pool, s.projection_eps, s.project_to_pd_use_mirroring,
+                elem_mask=pool_valid, jacobi_sweeps=nm._jacobi_sweeps)
+        return hess_stat_p, H_pool
+
+    pj = jax.jit(project_full)
+    timeit(f"projection static+pool (jacobi={nm._jacobi_sweeps})",
+           lambda: pj(hess, pool_sel, pool_cnt), key="project_ms")
+    hess_stat_p, H_pool = pj(hess, pool_sel, pool_cnt)
+
+    cat_jit = jax.jit(ev.cat_hess_with_pool)
+    timeit("cat_hess_with_pool", lambda: cat_jit(hess_stat_p, H_pool),
+           key="cat_ms")
+    H_cat = cat_jit(hess_stat_p, H_pool)
 
     from stark_tpu.solver import assembly
     from stark_tpu.solver.pcg import solve_pcg
 
-    def cg_once(niter):
-        H_cat = nm._ev.bucket_hess(hess_p, data)
-        D = nm._ev.diag_bucket(conn_cat, H_cat)
-        Dinv = assembly.precondition_inverse(D)
-        A = lambda p: nm._ev.hvp_bucket(p, conn_cat, H_cat, entry)
-        Minv = lambda r: assembly.apply_preconditioner(Dinv, r)
-        return solve_pcg(A, Minv, -grad, jnp.asarray(0.0, u.dtype),
-                         jnp.asarray(0.0, u.dtype), niter, False)
+    if use_direct:
+        ds_jit = jax.jit(lambda g, H, dt_: ev.direct_solve(g, H, dt_))
+        timeit("direct_solve (dense LLT)", lambda: ds_jit(grad, H_cat, dtab),
+               key="linsolve_ms")
+    else:
+        def cg_once(niter):
+            D = ev.diag_bucket(conn_cat, H_cat)
+            Dinv = assembly.precondition_inverse(D)
+            A = lambda p: ev.hvp_bucket(p, conn_cat, H_cat, rows)
+            Minv = lambda r: assembly.apply_preconditioner(Dinv, r)
+            return solve_pcg(A, Minv, -grad, jnp.asarray(0.0, u.dtype),
+                             jnp.asarray(0.0, u.dtype), niter, False)
 
-    cg_jit = jax.jit(cg_once, static_argnums=0)
-    t10 = timeit("cg 10 iters (bucket path)", lambda: cg_jit(10))
-    t100 = timeit("cg 100 iters (bucket path)", lambda: cg_jit(100))
-    print(f"    -> per CG iteration: {(t100-t10)/90*1000:.4f} ms", flush=True)
+        cg_jit = jax.jit(cg_once, static_argnums=0)
+        t10 = timeit("cg 10 iters (bucket path)", lambda: cg_jit(10))
+        t100 = timeit("cg 100 iters (bucket path)", lambda: cg_jit(100),
+                      key="linsolve_ms")
+        print(f"    -> per CG iteration: {(t100-t10)/90*1000:.4f} ms", flush=True)
+
+    tot = sum(RESULTS.get(k, 0.0) for k in
+              ("pair_build_ms", "isect_ms", "egh_ms", "energy_ms",
+               "project_ms", "cat_ms", "linsolve_ms"))
+    print(f"\n  approx per-Newton-iteration total (pair rebuild every iter): "
+          f"{tot:.1f} ms", flush=True)
+    import json
+    print("STAGES " + json.dumps({k: round(v, 3) for k, v in RESULTS.items()}),
+          flush=True)
 
 
 if __name__ == "__main__":
