@@ -64,15 +64,16 @@ def main():
     logger = sim.get_logger()
     warm_newton = logger.get_stats("newton_iterations").total
 
-    pair_acc = {"total": 0, "last": 0, "pool_max": 0}
+    pair_acc = {"total": 0, "last": 0}
+    count_max = {}
 
     def track_pairs():
         nm = sim.stark.newton
         if nm is not None:
             pair_acc["last"] = nm.live_contact_pairs()
             pair_acc["total"] += pair_acc["last"]
-            pair_acc["pool_max"] = max(pair_acc["pool_max"],
-                                       nm._last_counts.get("hvp_pool", 0))
+            for k, v in nm._last_counts.items():
+                count_max[k] = max(count_max.get(k, 0), int(v))
 
     t0 = time.perf_counter()
     t_sim0 = sim.get_time()
@@ -105,7 +106,7 @@ def main():
         "fused_retraces": int(logger.get_int("fused_retraces")),
         "broad_rebuilds": int(logger.get_stats("broad_rebuilds").total),
         "pair_rebuilds": int(logger.get_stats("pair_rebuilds").total),
-        "pool_rows_max": int(pair_acc["pool_max"]),
+        "count_max": {k: v for k, v in sorted(count_max.items())},
         "dtype": dtype,
     }
 

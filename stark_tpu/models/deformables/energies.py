@@ -82,7 +82,7 @@ class EnergyLumpedInertia:
         self._nodes: list[int] = []
         self._groups: list[int] = []
         stark.global_potential.add_potential(
-            PotentialFamily(self.NAME, 1, self._energy), self._provider)
+            PotentialFamily(self.NAME, 1, self._energy, psd=True), self._provider)
 
     # energy: E_ext + (quasistatic ? 0 : E_inertia) (EnergyLumpedInertia.cpp:28-46)
     def _energy(self, u_e, row, glob):
@@ -208,7 +208,7 @@ class EnergyPrescribedPositions:
         self.rest_positions: list[np.ndarray] = []
         self.group_begin_end: list[tuple[int, int]] = []
         stark.global_potential.add_potential(
-            PotentialFamily(self.NAME, 1, self._energy), self._provider)
+            PotentialFamily(self.NAME, 1, self._energy, psd=True), self._provider)
         stark.callbacks.newton.add_is_converged_state_valid(self._is_converged_state_valid)
 
     def _energy(self, u_e, row, glob):
@@ -575,7 +575,7 @@ class EnergyDiscreteShells:
             PotentialFamily(self.NAME, 4, self._energy_full),
             lambda: self._provider(self.NAME))
         stark.global_potential.add_potential(
-            PotentialFamily(self.NAME_FLAT, 4, self._energy_flat),
+            PotentialFamily(self.NAME_FLAT, 4, self._energy_flat, psd=True),
             lambda: self._provider(self.NAME_FLAT))
 
     def _energy_full(self, u_e, row, glob):

@@ -75,10 +75,10 @@ class EnergyAttachments:
         self._elems = {k: [] for k in (PP, PE, PT, EE, RBD)}
 
         gp = stark.global_potential
-        gp.add_potential(PotentialFamily(PP, 2, self._e_pp), lambda: self._provider(PP))
-        gp.add_potential(PotentialFamily(PE, 3, self._e_pe), lambda: self._provider(PE))
-        gp.add_potential(PotentialFamily(PT, 4, self._e_pt), lambda: self._provider(PT))
-        gp.add_potential(PotentialFamily(EE, 4, self._e_ee), lambda: self._provider(EE))
+        gp.add_potential(PotentialFamily(PP, 2, self._e_pp, psd=True), lambda: self._provider(PP))
+        gp.add_potential(PotentialFamily(PE, 3, self._e_pe, psd=True), lambda: self._provider(PE))
+        gp.add_potential(PotentialFamily(PT, 4, self._e_pt, psd=True), lambda: self._provider(PT))
+        gp.add_potential(PotentialFamily(EE, 4, self._e_ee, psd=True), lambda: self._provider(EE))
         gp.add_potential(PotentialFamily(RBD, 3, self._e_rbd), lambda: self._provider(RBD))
         stark.callbacks.newton.add_is_converged_state_valid(self._is_converged_state_valid)
 

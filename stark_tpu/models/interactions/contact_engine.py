@@ -199,6 +199,105 @@ class ContactEngine:
         self.rv_vblock = (self.n_soft + 2 * self.rv_body).astype(ii)
         self.rv_wblock = (self.rv_vblock + 1).astype(ii)
 
+        # --------------------------------------------------------------
+        # combined (global) primitive tables: soft primitives first, rigid
+        # after, all indexing the concatenated world array Vcat=[Vs; Vr].
+        # The dense candidate path evaluates ONE exact distance matrix per
+        # primitive KIND (PT / EE / edge-triangle) instead of one fat
+        # (Nq, K) candidate grid per system-combo stem — one compaction
+        # instead of seven, and exact distances replace the sphere+top_k
+        # two-stage machinery entirely (top_k alone measured ~6 ms at
+        # 3136^2 on v5e; the fused exact distance matrix is elementwise
+        # broadcast math with no gathers at all).
+        # --------------------------------------------------------------
+        n_sv, n_rv = len(self.sv_gid), len(self.rv_body)
+        self.n_sv, self.n_rv = n_sv, n_rv
+        self.n_ts, self.n_tr = len(self.ts), len(self.tr)
+        self.n_es, self.n_er = len(self.es), len(self.er)
+        self.p_mesh_all = np.concatenate([self.sv_mesh, self.rv_mesh]) \
+            if n_sv + n_rv else np.zeros((0,), ii)
+        t_parts = []
+        if self.n_ts:
+            t_parts.append(self.ts)
+        if self.n_tr:
+            t_parts.append(self.tr + n_sv)
+        self.tris_all = (np.concatenate(t_parts).astype(ii)
+                         if t_parts else np.zeros((0, 3), ii))
+        self.t_mesh_all = np.concatenate([self.ts_mesh, self.tr_mesh]) \
+            if self.n_ts + self.n_tr else np.zeros((0,), ii)
+        e_parts = []
+        if self.n_es:
+            e_parts.append(self.es)
+        if self.n_er:
+            e_parts.append(self.er + n_sv)
+        self.edges_all = (np.concatenate(e_parts).astype(ii)
+                          if e_parts else np.zeros((0, 2), ii))
+        self.e_mesh_all = np.concatenate([self.es_mesh, self.er_mesh]) \
+            if self.n_es + self.n_er else np.zeros((0,), ii)
+
+        Np_all, Nt_all = len(self.p_mesh_all), len(self.tris_all)
+        Ne_all = len(self.edges_all)
+        self.dense_pt = not self._use_grid(Np_all, Nt_all)
+        self.dense_ee = not self._use_grid(Ne_all, Ne_all)
+        self.dense_et = not self._use_grid(Ne_all, Nt_all)
+
+        is_rigid_p = np.arange(Np_all) >= n_sv
+        is_rigid_t = np.arange(Nt_all) >= self.n_ts
+        is_rigid_e = np.arange(Ne_all) >= self.n_es
+
+        if self.dense_pt and Np_all and Nt_all:
+            pm, tm = self.p_mesh_all, self.t_mesh_all
+            allowed = self.enabled_mat[np.ix_(pm, tm)].copy()
+            same = pm[:, None] == tm[None, :]
+            # same-mesh incident pairs (point is a triangle vertex) —
+            # global vertex ids are comparable directly
+            inc = np.zeros((Np_all, Nt_all), dtype=bool)
+            pidx = np.arange(Np_all)
+            for k in range(3):
+                inc |= pidx[:, None] == self.tris_all[None, :, k]
+            allowed &= ~(same & inc)
+            # same-mesh rigid-rigid pairs: rigid-invariant distance
+            allowed &= ~(same & is_rigid_p[:, None] & is_rigid_t[None, :])
+            self.pt_allowed_dense = allowed
+        else:
+            self.pt_allowed_dense = None
+
+        if self.dense_ee and Ne_all:
+            em = self.e_mesh_all
+            allowed = self.enabled_mat[np.ix_(em, em)].copy()
+            same = em[:, None] == em[None, :]
+            share = np.zeros((Ne_all, Ne_all), dtype=bool)
+            for i in range(2):
+                for j in range(2):
+                    share |= (self.edges_all[:, None, i]
+                              == self.edges_all[None, :, j])
+            allowed &= ~(same & share)
+            # tmcd dedup (BroadPhasePTEEBase.cpp:711-713): approve
+            # set_b > set_a, or same set and idx_b > idx_a (global edge ids
+            # are contiguous ascending within a mesh)
+            ei = np.arange(Ne_all)
+            approve = (em[None, :] > em[:, None]) | (
+                same & (ei[None, :] > ei[:, None]))
+            allowed &= approve
+            allowed &= ~(same & is_rigid_e[:, None] & is_rigid_e[None, :])
+            self.ee_allowed_dense = allowed
+        else:
+            self.ee_allowed_dense = None
+
+        if self.dense_et and Ne_all and Nt_all:
+            em, tm = self.e_mesh_all, self.t_mesh_all
+            same = em[:, None] == tm[None, :]
+            share = np.zeros((Ne_all, Nt_all), dtype=bool)
+            for i in range(2):
+                for k in range(3):
+                    share |= (self.edges_all[:, None, i]
+                              == self.tris_all[None, :, k])
+            allowed = ~(same & share)
+            allowed &= ~(same & is_rigid_e[:, None] & is_rigid_t[None, :])
+            self.et_allowed_dense = allowed
+        else:
+            self.et_allowed_dense = None
+
         # initial capacities
         self._caps = {}
 
@@ -293,7 +392,38 @@ class ContactEngine:
         "cf_" friction candidate row slots, "i_" per-edge intersection
         candidate row slots."""
         if name not in self._caps:
-            if name.startswith("g_"):
+            if name.startswith("m_") or name.startswith("im_"):
+                # flat mid-list capacities (combined kinds): pairs within
+                # d <= dhat + slack_pair + slack_broad of the broad-build
+                # state. Sized for a draped/crumpled state at max broad
+                # slack (the margin is ~3.5x the pair-shell margin, area
+                # scaling ~10x the live-pair count); memory is two int32
+                # vectors so generosity is cheap — the per-call cost they
+                # tax is one (cap x ~13 f32) gather at pair rebuild.
+                if name == "m_pt":
+                    # soft points near big rigid tris can capture a whole
+                    # cloth region (drape on a box face) -> the extra
+                    # n_sv term when rigid tris exist
+                    h = (16 + (8 if self.n_tr else 0)) * max(self.n_sv, 64) \
+                        + 64 * self.n_rv
+                elif name == "m_ee":
+                    # long rigid edges run a thin exact-distance band along
+                    # the whole soft mesh: ~n_es/2 per rigid edge mid-drape
+                    h = 24 * max(self.n_es, 64) \
+                        + self.n_er * max(64, self.n_es // 2)
+                elif name == "im_et":
+                    # exact-lower-bound near-touch pairs. The bound
+                    # d(seg,tri) >= d(mid,tri) - h_e is tight for short
+                    # soft edges and useless for body-length rigid edges,
+                    # which therefore budget full candidacy.
+                    h = 16 * max(self.n_es, 64) \
+                        + self.n_er * max(64, self.n_ts + self.n_tr)
+                else:
+                    # per-stem mid segments (grid path): a slice of the
+                    # combined budget proportional to the family cap
+                    h = 4 * self._cap(name[2:] if name.startswith("m_")
+                                      else name[3:])
+            elif name.startswith("g_"):
                 # spatial-hash structural caps: per-target insertion slots /
                 # per-query bucket-scan length. The scan length sizes a
                 # (Q, occ) intermediate, so it starts moderate and bumps on
@@ -346,19 +476,24 @@ class ContactEngine:
                 # the full spinning drape at converged f32 criteria); the
                 # active-row pool decouples these from per-iteration cost,
                 # so generosity only taxes egh/stage-2, not CG/projection
+                # drape-measured at 32x32 (round 5): the slack_p shell
+                # holds ~10k rows across families while only ~0.5-2k are
+                # live — family tables tax egh rows (cheap elementwise)
+                # but NOT projection/CG (live_select), so size them for
+                # the shell, not the live set
                 stem = name[2:] if name.startswith("f_") else name
                 if stem == "pt_dd":
-                    h = 2 * len(self.sv_gid)
+                    h = 4 * len(self.sv_gid)
                 elif stem == "pt_dr":
-                    h = len(self.sv_gid)
+                    h = 2 * len(self.sv_gid)
                 elif stem == "pt_rd":
-                    h = max(len(self.rv_body), len(self.ts) // 2)
+                    h = max(len(self.rv_body), len(self.ts))
                 elif stem == "pt_rr":
                     h = len(self.rv_body)
                 elif stem == "ee_dd":
-                    h = 2 * len(self.es)
+                    h = 4 * len(self.es)
                 elif stem == "ee_dr":
-                    h = max(len(self.er), len(self.es) // 2)
+                    h = max(len(self.er), len(self.es))
                 else:  # ee_rr
                     h = len(self.er)
             cap = 16 if name.startswith(("c_", "cf_", "i_")) else 256
@@ -823,12 +958,172 @@ class ContactEngine:
         return {"conn": conn, "rows": rows}
 
     # ------------------------------------------------------------------
-    # contact refresh (every Newton energy evaluation)
+    # combined dense-exact candidate pipeline
+    #
+    # One exact distance matrix per primitive KIND over the concatenated
+    # soft+rigid primitive tables (broadcast math, no gathers), one
+    # compaction per kind into a flat "mid list" of candidate pairs within
+    # d <= dhat + slack_pair + slack_broad, then per-Newton-iteration pair
+    # tables from exact distances over the SMALL mid list only. Replaces
+    # the per-stem sphere-prefilter + top_k + fat-(Nq,K)-grid stages whose
+    # pair-shell rebuild cost (~39 ms/iteration measured at 32x32) was the
+    # largest single cost of the fused solve.
+    # ------------------------------------------------------------------
+    def _vcat(self, Vs, Vr):
+        parts = []
+        if self.n_sv:
+            parts.append(Vs)
+        if self.n_rv:
+            parts.append(Vr)
+        if not parts:
+            return jnp.zeros((0, 3), self.dtype)
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def _pt_dense_d(self, Vcat, th):
+        """Exact PT distances over the combined grid: (d (Np,Nt), dhat)."""
+        tris = jnp.asarray(self.tris_all)
+        t0, t1, t2 = Vcat[tris[:, 0]], Vcat[tris[:, 1]], Vcat[tris[:, 2]]
+        d = jax.vmap(
+            lambda p: jax.vmap(nph.point_triangle_distance,
+                               in_axes=(None, 0, 0, 0))(p, t0, t1, t2)
+        )(Vcat)
+        dhat = (th[jnp.asarray(self.p_mesh_all)][:, None]
+                + th[jnp.asarray(self.t_mesh_all)][None, :])
+        return d, dhat
+
+    def _ee_dense_d(self, Vcat, th):
+        """Exact EE distances over the combined grid: (d (Ne,Ne), dhat)."""
+        edges = jnp.asarray(self.edges_all)
+        a0, a1 = Vcat[edges[:, 0]], Vcat[edges[:, 1]]
+        ptol = self.model.edge_edge_cross_norm_sq_cutoff
+        d = jax.vmap(
+            lambda x0, x1: jax.vmap(
+                lambda y0, y1: nph.edge_edge_distance(
+                    x0, x1, y0, y1, parallel_tol=ptol))(a0, a1)
+        )(a0, a1)
+        the = th[jnp.asarray(self.e_mesh_all)]
+        dhat = the[:, None] + the[None, :]
+        return d, dhat
+
+    def _et_dense_lb(self, Vcat):
+        """Conservative segment-triangle distance LOWER BOUND over the
+        combined grid: d(seg,tri) >= d(mid,tri) - h_e (exact PT distance of
+        the segment midpoint minus its half-length)."""
+        edges = jnp.asarray(self.edges_all)
+        tris = jnp.asarray(self.tris_all)
+        p0, p1 = Vcat[edges[:, 0]], Vcat[edges[:, 1]]
+        m = 0.5 * (p0 + p1)
+        h = 0.5 * jnp.linalg.norm(p1 - p0, axis=-1)
+        t0, t1, t2 = Vcat[tris[:, 0]], Vcat[tris[:, 1]], Vcat[tris[:, 2]]
+        d = jax.vmap(
+            lambda p: jax.vmap(nph.point_triangle_distance,
+                               in_axes=(None, 0, 0, 0))(p, t0, t1, t2)
+        )(m)
+        return d - h[:, None]
+
+    @staticmethod
+    def _mid_compact(valid, cap):
+        """(q, t, act) flat mid list from a dense validity matrix."""
+        Nt = valid.shape[1]
+        sel, cnt = compact_indices(valid.reshape(-1), cap)
+        q = (sel // Nt).astype(jnp.int32)
+        t = (sel % Nt).astype(jnp.int32)
+        act = jnp.arange(cap) < jnp.minimum(cnt, cap)
+        return (q, t, act), cnt
+
+    def _pt_stems(self):
+        return [s for s in self._blocks() if s.startswith("pt")]
+
+    def _ee_stems(self):
+        return [s for s in self._blocks() if s.startswith("ee")]
+
+    def _pt_kind_mask(self, stem, q, t):
+        ps = q < self.n_sv
+        ts_ = t < self.n_ts
+        return {"pt_dd": ps & ts_, "pt_dr": ps & ~ts_,
+                "pt_rd": ~ps & ts_, "pt_rr": ~ps & ~ts_}[stem]
+
+    def _pt_localize(self, stem, q, t):
+        p_loc = q - (0 if stem[3] == "d" else self.n_sv)
+        t_loc = t - (0 if stem[4] == "d" else self.n_ts)
+        return p_loc, t_loc
+
+    def _route_pt(self, q, t, valid, dhat_rows, cap_pfx="", d_rows=None):
+        """Route flat PT candidate rows into per-stem family pair tables:
+        {stem: (p_loc, t_loc, active, dhat_sel, d_sel, count)}."""
+        out = {}
+        for stem in self._pt_stems():
+            cap = self._cap(cap_pfx + stem)
+            sel, cnt = compact_indices(valid & self._pt_kind_mask(stem, q, t),
+                                       cap)
+            active = jnp.arange(cap) < jnp.minimum(cnt, cap)
+            p_loc, t_loc = self._pt_localize(stem, q[sel], t[sel])
+            d_sel = d_rows[sel] if d_rows is not None else None
+            out[stem] = (p_loc, t_loc, active, dhat_rows[sel], d_sel, cnt)
+        return out
+
+    def _ee_kind_sides(self, stem, a, b):
+        """(mask, a_side, b_side) for one EE stem over flat candidate rows.
+        ee_dr family rows want (rigid er-local, soft es-local) sides, so
+        mixed rows swap as needed; dd/rr keep the deduped (a, b) order."""
+        as_ = a < self.n_es
+        bs_ = b < self.n_es
+        if stem == "ee_dd":
+            return as_ & bs_, a, b
+        if stem == "ee_rr":
+            return ~as_ & ~bs_, a, b
+        mixed = as_ != bs_
+        ar = jnp.where(as_, b, a)   # the rigid side
+        bs2 = jnp.where(as_, a, b)  # the soft side
+        return mixed, ar, bs2
+
+    def _route_ee(self, a, b, valid, dhat_rows, cap_pfx="", d_rows=None):
+        out = {}
+        for stem in self._ee_stems():
+            cap = self._cap(cap_pfx + stem)
+            mask, aa, bb = self._ee_kind_sides(stem, a, b)
+            sel, cnt = compact_indices(valid & mask, cap)
+            active = jnp.arange(cap) < jnp.minimum(cnt, cap)
+            a_loc = aa[sel] - (0 if stem == "ee_dd" else self.n_es)
+            b_loc = bb[sel] - (self.n_es if stem == "ee_rr" else 0)
+            d_sel = d_rows[sel] if d_rows is not None else None
+            out[stem] = (a_loc, b_loc, active, dhat_rows[sel], d_sel, cnt)
+        return out
+
+    # ------------------------------------------------------------------
+    # contact refresh (every Newton energy evaluation; staged path)
     # ------------------------------------------------------------------
     def _contacts_fn(self, glob, th):
         Vs, Vr = self._world(glob, glob["dt"])
         out = {}
         counts = {}
+        if self.dense_pt and self.dense_ee:
+            Vcat = self._vcat(Vs, Vr)
+            if self._pt_stems():
+                d, dhat = self._pt_dense_d(Vcat, th)
+                allowed = jnp.asarray(self.pt_allowed_dense)
+                valid = (allowed & (d <= dhat)).reshape(-1)
+                Nt = d.shape[1]
+                idx = jnp.arange(valid.shape[0], dtype=jnp.int32)
+                q, t = idx // Nt, idx % Nt
+                routed = self._route_pt(q, t, valid, dhat.reshape(-1))
+                for stem, (p, tl, act, dh, _d, cnt) in routed.items():
+                    out["contact_" + stem] = self._pt_family_data(
+                        stem, p, tl, act, dh)
+                    counts[stem] = cnt
+            if self._ee_stems():
+                d, dhat = self._ee_dense_d(Vcat, th)
+                allowed = jnp.asarray(self.ee_allowed_dense)
+                valid = (allowed & (d <= dhat)).reshape(-1)
+                Ne = d.shape[1]
+                idx = jnp.arange(valid.shape[0], dtype=jnp.int32)
+                a, b = idx // Ne, idx % Ne
+                routed = self._route_ee(a, b, valid, dhat.reshape(-1))
+                for stem, (al, bl, act, dh, _d, cnt) in routed.items():
+                    out["contact_" + stem] = self._ee_family_data(
+                        stem, al, bl, act, dh)
+                    counts[stem] = cnt
+            return out, counts
         for stem in self._blocks():
             if stem.startswith("pt"):
                 p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(stem, Vs, Vr, th)
@@ -850,69 +1145,142 @@ class ContactEngine:
     # margin. Rebuilt whenever motion exceeds its budget — every iteration
     # during fast motion, never at rest.
     # ------------------------------------------------------------------
-    def broad_fn(self, Vs, Vr, th, slack_b):
-        """Broad-shell build: per-block row-K candidate grids {stem: tid
-        (Nq, K)} + intersection candidates + counts (c_<stem> = max true
-        row count; > K means bump K and re-trace)."""
-        cands = {}
+    def broad_fn(self, Vs, Vr, th, slack_b, slack_p):
+        """Broad-shell build: flat mid lists {kind: (q, t, act)} of exact
+        candidate pairs within d <= dhat + slack_p + slack_b of THIS state
+        (a pair can enter the pair shell while the broad shell is valid
+        only if its distance here was within the two-sided motion budget
+        2*0.45*slack_b < slack_b), plus intersection candidates + counts
+        (m_* totals; > cap means bump + re-trace)."""
+        mcands = {}
         counts = {}
-        for stem in self._blocks():
-            K = self._cap("c_" + stem)
-            sl = jnp.asarray(slack_b, self.dtype)
-            if stem.startswith("pt"):
-                P, pm, tri, tm, t0, t1, t2, c, r, th_p, th_t = self._pt_geom(
-                    stem, Vs, Vr, th)
-                tid, max_row, c1 = self._pt_stage1(
-                    stem, P, c, r, th_p, th_t, sl, tri, pm, tm, None, K)
-            else:
-                (ea, eam, eb, ebm, a0, a1, b0, b1, ma, ha, mb, hb,
-                 th_a, th_b) = self._ee_geom(stem, Vs, Vr, th)
-                tid, max_row, c1 = self._ee_stage1(
-                    stem, ma, ha, mb, hb, th_a, th_b, sl, ea, eb, eam, ebm,
-                    None, K)
-            cands[stem] = tid
-            counts.update(c1)
-            counts["c_" + stem] = max_row
+        margin = jnp.asarray(slack_p, self.dtype) + jnp.asarray(
+            slack_b, self.dtype)
+        if not (self.dense_pt and self.dense_ee):
+            mcands, counts = self._broad_grid(Vs, Vr, th, slack_b, slack_p)
+        else:
+            Vcat = self._vcat(Vs, Vr)
+            if self._pt_stems():
+                d, dhat = self._pt_dense_d(Vcat, th)
+                valid = jnp.asarray(self.pt_allowed_dense) & (d <= dhat + margin)
+                mcands["pt"], cnt = self._mid_compact(valid, self._cap("m_pt"))
+                counts["m_pt"] = cnt
+            if self._ee_stems():
+                d, dhat = self._ee_dense_d(Vcat, th)
+                valid = jnp.asarray(self.ee_allowed_dense) & (d <= dhat + margin)
+                mcands["ee"], cnt = self._mid_compact(valid, self._cap("m_ee"))
+                counts["m_ee"] = cnt
         if self.model.global_params.intersection_test_enabled:
             icands, icounts = self._isect_stage1(Vs, Vr, slack=slack_b)
             counts.update(icounts)
         else:
             icands = {}
-        return cands, icands, counts
+        return mcands, icands, counts
 
-    def pairs_fn(self, Vs, Vr, th, bcands, slack_p):
-        """Pair-shell build from frozen broad row-K candidate grids: exact
-        distances filtered to d <= dhat + slack_p, compacted into the family
-        pair tables the energies consume. No grids, no sorts. Returns
+    def _broad_grid(self, Vs, Vr, th, slack_b, slack_p):
+        """Grid-path mid lists for blocks too large for the dense matrix:
+        per-stem spatial-hash stage 1 -> exact distances over the (Nq, K)
+        candidate grid -> per-stem flat mid segments in GLOBAL primitive
+        ids, concatenated per kind."""
+        counts = {}
+        sl_s1 = jnp.asarray(slack_b, self.dtype) + jnp.asarray(slack_p, self.dtype)
+        mid = {"pt": [], "ee": []}
+        for stem in self._blocks():
+            K = self._cap("c_" + stem)
+            mcap = self._cap("m_" + stem)
+            if stem.startswith("pt"):
+                P, pm, tri, tm, t0, t1, t2, c, r, th_p, th_t = self._pt_geom(
+                    stem, Vs, Vr, th)
+                tid, max_row, c1 = self._pt_stage1(
+                    stem, P, c, r, th_p, th_t, sl_s1, tri, pm, tm, None, K)
+                p_idx, t_idx, active, _d, dh, c2 = self._pt_stage2(
+                    stem, P, t0, t1, t2, th_p, th_t, tid, sl_s1, mcap,
+                    pfx="m_")
+                # localize -> global ids
+                q_g = p_idx + (0 if stem[3] == "d" else self.n_sv)
+                t_g = t_idx + (0 if stem[4] == "d" else self.n_ts)
+                mid["pt"].append((q_g, t_g, active))
+            else:
+                (ea, eam, eb, ebm, a0, a1, b0, b1, ma, ha, mb, hb,
+                 th_a, th_b) = self._ee_geom(stem, Vs, Vr, th)
+                tid, max_row, c1 = self._ee_stage1(
+                    stem, ma, ha, mb, hb, th_a, th_b, sl_s1, ea, eb, eam,
+                    ebm, None, K)
+                a_idx, b_idx, active, _d, dh, c2 = self._ee_stage2(
+                    stem, a0, a1, b0, b1, th_a, th_b, tid, sl_s1, mcap,
+                    pfx="m_")
+                # _ee_geom query side: er for ee_dr/ee_rr, es for ee_dd
+                a_g = a_idx + (0 if stem == "ee_dd" else self.n_es)
+                b_g = b_idx + (self.n_es if stem == "ee_rr" else 0)
+                mid["ee"].append((a_g, b_g, active))
+            counts.update(c1)
+            counts.update(c2)
+            counts["c_" + stem] = max_row
+        mcands = {}
+        for kind, segs in mid.items():
+            if not segs:
+                continue
+            q = jnp.concatenate([s[0] for s in segs]) if len(segs) > 1 else segs[0][0]
+            t = jnp.concatenate([s[1] for s in segs]) if len(segs) > 1 else segs[0][1]
+            act = jnp.concatenate([s[2] for s in segs]) if len(segs) > 1 else segs[0][2]
+            mcands[kind] = (q, t, act)
+        return mcands, counts
+
+    def pairs_fn(self, Vs, Vr, th, mcands, slack_p):
+        """Pair-shell build from the frozen flat mid lists: exact distances
+        over mid rows filtered to d <= dhat + slack_p, routed and compacted
+        into the per-stem family pair tables the energies consume. Returns
         (contact_data, counts) with n_live_* live-pair metrics."""
         out = {}
         counts = {}
         sl = jnp.asarray(slack_p, self.dtype)
-        for stem in self._blocks():
-            cap = self._cap(stem)
-            if stem.startswith("pt"):
-                P, pm, tri, tm, t0, t1, t2, c, r, th_p, th_t = self._pt_geom(
-                    stem, Vs, Vr, th)
-                p_idx, t_idx, active, _d, dh, c2 = self._pt_stage2(
-                    stem, P, t0, t1, t2, th_p, th_t, bcands[stem], sl, cap,
-                    with_live=True)
-                out["contact_" + stem] = self._pt_family_data(
-                    stem, p_idx, t_idx, active, dh)
-            else:
-                (ea, eam, eb, ebm, a0, a1, b0, b1, ma, ha, mb, hb,
-                 th_a, th_b) = self._ee_geom(stem, Vs, Vr, th)
-                a_idx, b_idx, active, _d, dh, c2 = self._ee_stage2(
-                    stem, a0, a1, b0, b1, th_a, th_b, bcands[stem], sl, cap,
-                    with_live=True)
-                out["contact_" + stem] = self._ee_family_data(
-                    stem, a_idx, b_idx, active, dh)
-            counts.update(c2)
+        Vcat = self._vcat(Vs, Vr)
+        th_p_all = th[jnp.asarray(self.p_mesh_all)] if len(self.p_mesh_all) else th[:0]
+        th_t_all = th[jnp.asarray(self.t_mesh_all)] if len(self.t_mesh_all) else th[:0]
+        th_e_all = th[jnp.asarray(self.e_mesh_all)] if len(self.e_mesh_all) else th[:0]
+        if "pt" in mcands and self._pt_stems():
+            q, t, act = mcands["pt"]
+            tris = jnp.asarray(self.tris_all)
+            tq = tris[t]
+            d = jax.vmap(nph.point_triangle_distance)(
+                Vcat[q], Vcat[tq[:, 0]], Vcat[tq[:, 1]], Vcat[tq[:, 2]])
+            dhat = th_p_all[q] + th_t_all[t]
+            valid = act & (d <= dhat + sl)
+            counts["n_live_pt"] = jnp.sum(
+                (act & (d <= dhat)).astype(jnp.int32))
+            routed = self._route_pt(q, t, valid, dhat)
+            for stem, (p, tl, a2, dh, _d, cnt) in routed.items():
+                out["contact_" + stem] = self._pt_family_data(stem, p, tl, a2, dh)
+                counts[stem] = cnt
+        if "ee" in mcands and self._ee_stems():
+            a, b, act = mcands["ee"]
+            edges = jnp.asarray(self.edges_all)
+            ea, eb = edges[a], edges[b]
+            ptol = self.model.edge_edge_cross_norm_sq_cutoff
+            d = jax.vmap(lambda x0, x1, y0, y1: nph.edge_edge_distance(
+                x0, x1, y0, y1, parallel_tol=ptol))(
+                Vcat[ea[:, 0]], Vcat[ea[:, 1]], Vcat[eb[:, 0]], Vcat[eb[:, 1]])
+            dhat = th_e_all[a] + th_e_all[b]
+            valid = act & (d <= dhat + sl)
+            counts["n_live_ee"] = jnp.sum(
+                (act & (d <= dhat)).astype(jnp.int32))
+            routed = self._route_ee(a, b, valid, dhat)
+            for stem, (al, bl, a2, dh, _d, cnt) in routed.items():
+                out["contact_" + stem] = self._ee_family_data(stem, al, bl, a2, dh)
+                counts[stem] = cnt
         return out, counts
 
     def broad_count_keys(self):
         keys = []
-        for stem in self._blocks():
-            keys += self._stage1_keys(stem)
+        if self.dense_pt and self.dense_ee:
+            if self._pt_stems():
+                keys.append("m_pt")
+            if self._ee_stems():
+                keys.append("m_ee")
+        else:
+            for stem in self._blocks():
+                keys += self._stage1_keys(stem)
+                keys.append("m_" + stem)
         if self.model.global_params.intersection_test_enabled:
             keys += self.intersect_count_keys()
         return keys
@@ -921,12 +1289,17 @@ class ContactEngine:
         keys = []
         for stem in self._blocks():
             keys.append(stem)
-            keys.append("n_live_" + stem)
+        if self._pt_stems():
+            keys.append("n_live_pt")
+        if self._ee_stems():
+            keys.append("n_live_ee")
         return keys
 
     def friction_count_keys(self):
         """Count keys friction_tables emits (fused_friction path)."""
         keys = []
+        if self.dense_pt and self.dense_ee:
+            return ["f_" + stem for stem in self._blocks()]
         for stem in self._blocks():
             keys.append("f_" + stem)
             keys.append("cf_" + stem)
@@ -1031,10 +1404,52 @@ class ContactEngine:
         btype = self.model.ipc_barrier_type
         out = {}
         counts = {}
-        for stem in self._blocks():
+        per_stem = {}
+        if self.dense_pt and self.dense_ee:
+            # combined dense path: one exact distance matrix per kind with
+            # the mu-pair allowance lifted on the MXU (_lift_mesh_pair),
+            # routed straight into the f_ pair tables at d <= dhat
+            Vcat = self._vcat(Vs, Vr)
+            if self._pt_stems():
+                d, dhat = self._pt_dense_d(Vcat, th)
+                mu_ok = self._lift_mesh_pair(
+                    mu_mat, self.p_mesh_all, self.t_mesh_all) != 0.0
+                valid = (jnp.asarray(self.pt_allowed_dense) & mu_ok
+                         & (d <= dhat)).reshape(-1)
+                Nt = d.shape[1]
+                idx = jnp.arange(valid.shape[0], dtype=jnp.int32)
+                routed = self._route_pt(idx // Nt, idx % Nt, valid,
+                                        dhat.reshape(-1), cap_pfx="f_",
+                                        d_rows=d.reshape(-1))
+                for stem, (p, tl, act, dh, ds, cnt) in routed.items():
+                    per_stem[stem] = (p, tl, act, ds, dh)
+                    counts["f_" + stem] = cnt
+            if self._ee_stems():
+                d, dhat = self._ee_dense_d(Vcat, th)
+                mu_ok = self._lift_mesh_pair(
+                    mu_mat, self.e_mesh_all, self.e_mesh_all) != 0.0
+                valid = (jnp.asarray(self.ee_allowed_dense) & mu_ok
+                         & (d <= dhat)).reshape(-1)
+                Ne = d.shape[1]
+                idx = jnp.arange(valid.shape[0], dtype=jnp.int32)
+                routed = self._route_ee(idx // Ne, idx % Ne, valid,
+                                        dhat.reshape(-1), cap_pfx="f_",
+                                        d_rows=d.reshape(-1))
+                for stem, (al, bl, act, dh, ds, cnt) in routed.items():
+                    per_stem[stem] = (al, bl, act, ds, dh)
+                    counts["f_" + stem] = cnt
+        else:
+            for stem in self._blocks():
+                if stem.startswith("pt"):
+                    p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(
+                        stem, Vs, Vr, th, extra_mat=mu_mat)
+                else:
+                    p_idx, t_idx, active, d, cnts, dh = self._ee_pairs(
+                        stem, Vs, Vr, th, extra_mat=mu_mat)
+                per_stem[stem] = (p_idx, t_idx, active, d, dh)
+                counts.update(cnts)
+        for stem, (p_idx, t_idx, active, d, dh) in per_stem.items():
             if stem.startswith("pt"):
-                p_idx, t_idx, active, d, cnts, dh = self._pt_pairs(
-                    stem, Vs, Vr, th, extra_mat=mu_mat)
                 fd = self._pt_family_data(stem, p_idx, t_idx, active, dh)
                 P = (Vs if stem in ("pt_dd", "pt_dr") else Vr)[p_idx]
                 T3 = Vs if stem in ("pt_dd", "pt_rd") else Vr
@@ -1053,8 +1468,7 @@ class ContactEngine:
                 fd["rows"]["fn"] = barrier_force_wrap(d, dh, k, btype)
                 out["friction_" + stem] = fd
             else:
-                a_idx, b_idx, active, d, cnts, dh = self._ee_pairs(
-                    stem, Vs, Vr, th, extra_mat=mu_mat)
+                a_idx, b_idx = p_idx, t_idx
                 fd = self._ee_family_data(stem, a_idx, b_idx, active, dh)
                 EA = Vs if stem == "ee_dd" else Vr
                 EB = Vs if stem in ("ee_dd", "ee_dr") else Vr
@@ -1077,7 +1491,6 @@ class ContactEngine:
                 fd["rows"]["mu"] = mu_mat[am, bm]
                 fd["rows"]["fn"] = barrier_force_wrap(d, dh, k, btype)
                 out["friction_" + stem] = fd
-            counts.update(cnts)
         return out, counts
 
     def refresh_friction(self, dt):
@@ -1120,16 +1533,22 @@ class ContactEngine:
         return blocks
 
     def intersect_count_keys(self):
-        """Exactly the count keys _intersect_fn emits."""
+        """Exactly the count keys _isect_stage1 emits."""
+        if self.dense_et:
+            return ["im_et"] if (len(self.edges_all) and len(self.tris_all)) \
+                else []
         keys = []
         for k, nq, nt in self._i_blocks():
             keys.append(k)
+            keys.append("im_" + k)
             if self._use_grid(nq, nt):
                 keys += ["g_" + k + "_ins", "g_" + k + "_occ"]
         return keys
 
     def contact_count_keys(self):
         """Exactly the count keys _contacts_fn emits."""
+        if self.dense_pt and self.dense_ee:
+            return [stem for stem in self._blocks()]
         keys = []
         for stem in self._blocks():
             keys.append(stem)
@@ -1137,20 +1556,33 @@ class ContactEngine:
         return keys
 
     def _isect_stage1(self, Vs, Vr, slack=None):
-        """Intersection candidate generation for all active blocks:
-        {ikey: (tid (Ne, K), overflow)} plus the counts dict. With `slack`
-        (traced scalar) candidates are collected with an inflated prefilter
-        radius so the buffer stays a superset of potentially-intersecting
-        pairs while no primitive endpoint moves more than slack/2 from this
-        state (the per-solve frozen-candidate contract, see fused.py)."""
+        """Intersection candidate generation: a flat mid list
+        {"et": (e_idx, t_idx, act, overflow)} of edge-triangle pairs whose
+        conservative exact lower bound d(seg,tri) >= d(mid,tri) - h_e is
+        within `slack` (traced scalar) — a superset of every pair that can
+        intersect while total motion stays within the broad budget
+        (2*0.45*slack < slack). Cap overflow reports conservatively
+        (overflow flag -> hit) AND surfaces the count for a bump."""
         sl = jnp.asarray(0.0 if slack is None else slack, self.dtype)
-        cands = {}
         counts = {}
+        if self.dense_et:
+            if len(self.edges_all) == 0 or len(self.tris_all) == 0:
+                return {}, counts
+            Vcat = self._vcat(Vs, Vr)
+            d_lb = self._et_dense_lb(Vcat)
+            valid = jnp.asarray(self.et_allowed_dense) & (d_lb <= sl)
+            cap = self._cap("im_et")
+            (e, t, act), cnt = self._mid_compact(valid, cap)
+            counts["im_et"] = cnt
+            return {"et": (e, t, act, cnt > cap)}, counts
+        # grid path: per-block stage 1 -> exact lower bound over the
+        # (Ne, K) candidate grid -> flat per-block mid segments in global
+        # primitive ids, concatenated
+        segs = []
+        overflow = jnp.zeros((), bool)
         for ikey, E, edges, T, tris, excl_fn, excl_dense in self._i_geoms(Vs, Vr):
             p0, p1 = E[edges[:, 0]], E[edges[:, 1]]
             t0, t1, t2 = T[tris[:, 0]], T[tris[:, 1]], T[tris[:, 2]]
-            # midpoint/bounding-sphere prefilter (a segment can only
-            # intersect a triangle if |m_e - c_t| <= l_e/2 + r_t)
             c = (t0 + t1 + t2) / 3.0
             r = jnp.sqrt(jnp.maximum(jnp.maximum(
                 jnp.sum((t0 - c) ** 2, -1), jnp.sum((t1 - c) ** 2, -1)),
@@ -1170,39 +1602,55 @@ class ContactEngine:
                 tids = jnp.broadcast_to(
                     jnp.arange(nt, dtype=jnp.int32)[None, :], pre.shape)
                 tid, max_row = self._rowk_topk(pre, tids, K, nt)
-            # row overflow drops candidates (top_k keeps the K smallest
-            # ids) -> conservative hit until the host bumps K + re-traces
-            cands[ikey] = (tid, max_row > K)
             counts[ikey] = max_row
-        return cands, counts
+            overflow |= max_row > K
+            # exact lower bound over the fat grid, compact to a flat segment
+            Ne = tid.shape[0]
+            tc = jnp.clip(tid, 0, max(nt - 1, 0))
+            fat = jnp.concatenate([t0, t1, t2], axis=-1)
+            Tk = fat[tc].reshape(Ne * K, 9)
+            mk = jnp.broadcast_to(m[:, None, :], (Ne, K, 3)).reshape(-1, 3)
+            d_mid = jax.vmap(nph.point_triangle_distance)(
+                mk, Tk[:, 0:3], Tk[:, 3:6], Tk[:, 6:9])
+            hk = jnp.broadcast_to(h[:, None], (Ne, K)).reshape(-1)
+            ok = (tid < nt).reshape(-1) & (d_mid - hk <= sl)
+            mcap = self._cap("im_" + ikey)
+            sel, cnt = compact_indices(ok, mcap)
+            counts["im_" + ikey] = cnt
+            overflow |= cnt > mcap
+            act = jnp.arange(mcap) < jnp.minimum(cnt, mcap)
+            e_loc = (sel // K).astype(jnp.int32)
+            t_loc = tc.reshape(-1)[sel]
+            # localize -> global ids (i_geoms order: ss, sr, rs, rr)
+            e_g = e_loc + (0 if ikey[2] == "s" else self.n_es)
+            t_g = t_loc + (0 if ikey[3] == "s" else self.n_ts)
+            segs.append((e_g, t_g, act))
+        if not segs:
+            return {}, counts
+        e = jnp.concatenate([s[0] for s in segs]) if len(segs) > 1 else segs[0][0]
+        t = jnp.concatenate([s[1] for s in segs]) if len(segs) > 1 else segs[0][1]
+        act = jnp.concatenate([s[2] for s in segs]) if len(segs) > 1 else segs[0][2]
+        return {"et": (e, t, act, overflow)}, counts
 
     def _isect_exact(self, Vs, Vr, cands):
-        """Exact segment-triangle tests over frozen (Ne, K) candidate grids:
-        the cheap per-trial half of the oracle (no grids, no sorts, no
-        compaction). Candidate row overflow reports hit=True (conservative:
-        forces step halving until the host bumps the cap and re-traces)."""
-        hit = jnp.zeros((), bool)
-        for ikey, E, edges, T, tris, _excl_fn, _excl_dense in self._i_geoms(Vs, Vr):
-            if ikey not in cands:
-                continue
-            tid, overflowed = cands[ikey]
-            Ne, K = tid.shape
-            nt = tris.shape[0]
-            tc = jnp.clip(tid, 0, max(nt - 1, 0))
-            # fat-row gathers (see _pt_stage2): one (Nt, 9) row per
-            # candidate; the edge side broadcasts per row
-            fat = jnp.concatenate(
-                [T[tris[:, 0]], T[tris[:, 1]], T[tris[:, 2]]], axis=-1)
-            Tk = fat[tc].reshape(Ne * K, 9)
-            p0 = jnp.broadcast_to(E[edges[:, 0]][:, None, :],
-                                  (Ne, K, 3)).reshape(Ne * K, 3)
-            p1 = jnp.broadcast_to(E[edges[:, 1]][:, None, :],
-                                  (Ne, K, 3)).reshape(Ne * K, 3)
-            isect = jax.vmap(nph.segment_triangle_intersects)(
-                p0, p1, Tk[:, 0:3], Tk[:, 3:6], Tk[:, 6:9])
-            valid = (tid < nt).reshape(-1)
-            hit |= jnp.any(isect & valid) | overflowed
-        return hit
+        """Exact segment-triangle tests over the frozen flat mid list: the
+        cheap per-trial half of the oracle (no grids, no compaction).
+        Candidate overflow reports hit=True (conservative: forces step
+        halving until the host bumps the cap and re-traces)."""
+        if "et" not in cands:
+            return jnp.zeros((), bool)
+        e, t, act, overflowed = cands["et"]
+        if e.shape[0] == 0:
+            return jnp.asarray(overflowed, bool)
+        Vcat = self._vcat(Vs, Vr)
+        edges = jnp.asarray(self.edges_all)
+        tris = jnp.asarray(self.tris_all)
+        ee = edges[e]
+        tt = tris[t]
+        isect = jax.vmap(nph.segment_triangle_intersects)(
+            Vcat[ee[:, 0]], Vcat[ee[:, 1]],
+            Vcat[tt[:, 0]], Vcat[tt[:, 1]], Vcat[tt[:, 2]])
+        return jnp.any(isect & act) | overflowed
 
     def _intersect_fn(self, glob):
         """Returns (hit, counts) where counts maps each i_ block to its true

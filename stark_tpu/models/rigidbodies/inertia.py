@@ -32,9 +32,9 @@ class EnergyRigidBodyInertia:
 
         stark.callbacks.add_before_time_step(self._before_time_step)
         stark.global_potential.add_potential(
-            PotentialFamily(self.NAME_LIN, 1, self._energy_linear), self._provider_lin)
+            PotentialFamily(self.NAME_LIN, 1, self._energy_linear, psd=True), self._provider_lin)
         stark.global_potential.add_potential(
-            PotentialFamily(self.NAME_ANG, 1, self._energy_angular), self._provider_ang)
+            PotentialFamily(self.NAME_ANG, 1, self._energy_angular, psd=True), self._provider_ang)
 
     @property
     def _layout(self):

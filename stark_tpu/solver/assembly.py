@@ -355,6 +355,75 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
             H = jnp.pad(H, ((0, 0), (0, p), (0, p)))
         return H
 
+    def dyn_conn_cat(data):
+        """Concatenated dynamic-family connectivity padded to the bucket
+        arity, inactive rows routed to the dummy block. Cheap (pure concat
+        of frozen tables) — rebuilt every iteration rather than carried."""
+        b = _max_arity
+        parts = [_pad_conn_b(data[n], b) for n in sorted(data.keys())
+                 if _is_dyn(n)]
+        if not parts:
+            return jnp.zeros((0, b), jnp.int32)
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    def dyn_hess_cat(hess):
+        """Concatenated dynamic-family element Hessians zero-padded to the
+        bucket dim, canonical (sorted) family order matching dyn_conn_cat."""
+        d = 3 * _max_arity
+        parts = [_pad_h(hess[n], d) for n in sorted(hess.keys())
+                 if _is_dyn(n)]
+        if not parts:
+            return jnp.zeros((0, d, d), jnp.float32)
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    def live_select(conn_dyn, H_dyn, live_cap: int):
+        """Select the dynamic rows with NONZERO element Hessians at the
+        CURRENT iterate. IPC barriers clamp at dhat, so every pair in the
+        slack_p shell but outside dhat contributes an exactly-zero Hessian
+        — the projection and CG layers only ever need the truly-live rows
+        (~5-20x fewer than the shell at drape: 9.6k shell rows vs ~0.5-2k
+        live measured on the 32x32 bench). Selection is per-iteration (the
+        live set changes as the iterate moves); count > live_cap signals
+        overflow (bump + re-trace; the affected iteration solves with a
+        truncated-but-PSD Hessian, like every other cap overflow).
+
+        Returns (conn_live (live_cap,b), H_live (live_cap,3b,3b),
+        valid (live_cap,), count)."""
+        from ..ops.compaction import compact_indices
+
+        b = _max_arity
+        if conn_dyn.shape[0] == 0:
+            return (jnp.full((live_cap, b), n_blocks, jnp.int32),
+                    jnp.zeros((live_cap, 3 * b, 3 * b), H_dyn.dtype),
+                    jnp.zeros((live_cap,), bool), jnp.zeros((), jnp.int32))
+        nz = jnp.any(H_dyn != 0.0, axis=(1, 2))
+        sel, cnt = compact_indices(nz, live_cap)
+        valid = jnp.arange(live_cap) < jnp.minimum(cnt, live_cap)
+        conn_live = jnp.where(valid[:, None], conn_dyn[sel], n_blocks)
+        H_live = jnp.where(valid[:, None, None], H_dyn[sel], 0.0)
+        return conn_live, H_live, valid, cnt
+
+    def cat_static_conn(data):
+        """Concatenated static-family connectivity (canonical sorted order,
+        padded to the bucket arity, inactive rows -> dummy block)."""
+        b = _max_arity
+        parts = [_pad_conn_b(data[n], b) for n in sorted(data.keys())
+                 if not _is_dyn(n)]
+        if not parts:
+            return jnp.zeros((0, b), jnp.int32)
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    def cat_with_live(conn_static, hess_stat, conn_live, H_live):
+        """(conn_cat, H_cat) single-bucket layout: static families in
+        canonical order followed by the live dynamic rows."""
+        b = _max_arity
+        d = 3 * b
+        h_parts = [_pad_h(hess_stat[n], d) for n in sorted(hess_stat.keys())]
+        h_parts.append(H_live)
+        H = jnp.concatenate(h_parts, axis=0) if len(h_parts) > 1 else h_parts[0]
+        conn = jnp.concatenate([conn_static, conn_live], axis=0)
+        return {b: conn}, {b: H}
+
     def pool_dyn_hess(hess, pool_sel):
         """Pooled dynamic-family element Hessians: (pool_cap, 3b, 3b) in
         bucket_conn_pool's row order. Rows past the live count carry
@@ -534,7 +603,8 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
     # ------------------------------------------------------------------
     def direct_tables(conn_cat, slot_cap: int):
         """Per-rebuild sorted block-pair layout: (order, starts, pid_start,
-        n_slots). n_slots > slot_cap signals overflow (bump + re-trace)."""
+        n_slots, is_start). n_slots > slot_cap signals overflow (bump +
+        re-trace)."""
         from ..ops.compaction import compact_indices
 
         b = _max_arity
@@ -551,7 +621,86 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         starts, n_slots = compact_indices(is_start, slot_cap)
         valid = jnp.arange(slot_cap) < jnp.minimum(n_slots, slot_cap)
         pid_start = jnp.where(valid, pid_sorted[starts], N1 * N1 - 1)
-        return order, starts, pid_start, n_slots
+        return order, starts, pid_start, n_slots, is_start
+
+    def _seg_scan_rows(v, flags):
+        """Segmented inclusive scan of (R, W) rows along axis 0, segment
+        heads marked by `flags`. log2(R) shifted masked adds — sums stay
+        SEGMENT-LOCAL, so f32 suffices (no global-prefix cancellation like
+        a cumsum-and-subtract scheme; the worst run accumulates ~1e3
+        entries -> ~sqrt(1e3)*eps relative noise)."""
+        R = v.shape[0]
+        d = 1
+        while d < R:
+            vs = jnp.concatenate([jnp.zeros((d, v.shape[1]), v.dtype), v[:-d]])
+            fs = jnp.concatenate([jnp.ones((d,), bool), flags[:-d]])
+            v = v + jnp.where(flags[:, None], 0.0, vs)
+            flags = flags | fs
+            d *= 2
+        return v
+
+    def assemble_dense_perm(H_cat, dtab):
+        """Dense global Hessian in the PERMUTED layout Hp[(a,b1),(c,b2)] =
+        H[(b1,a),(b2,c)] (component-major): a symmetric permutation of the
+        same SPD matrix whose (3, N1, 3, N1) assembly transpose keeps the
+        block index in the 128-lane minor axis — the natural (N1,3,N1,3)
+        layout's transpose measured ~12 ms of pure retiling on v5e. The
+        dummy block (index n_blocks) carries an identity diagonal so the
+        factorization stays SPD; its solution component is discarded."""
+        b = _max_arity
+        N1 = n_blocks + 1
+        order, starts, pid_start, n_slots, is_start = dtab
+        H = H_cat[b]
+        E_cat = H.shape[0]
+        Hb = H.reshape(E_cat, b, 3, b, 3).transpose(0, 1, 3, 2, 4)
+        vals = Hb.reshape(-1, 9)[order]
+        seg = _seg_scan_rows(vals, is_start)
+        R2 = vals.shape[0]
+        slot_cap = starts.shape[0]
+        nxt = jnp.concatenate([starts[1:], jnp.full((1,), R2, starts.dtype)])
+        has_next = jnp.arange(slot_cap) + 1 < jnp.minimum(n_slots, slot_cap)
+        nxt = jnp.where(has_next, nxt, R2)
+        hi = jnp.clip(nxt - 1, 0, R2 - 1)
+        sums = seg[hi]
+        D4 = jnp.zeros((N1 * N1, 9), H.dtype)
+        D4 = D4.at[pid_start].set(sums)
+        D4 = D4.at[N1 * N1 - 1].set(
+            jnp.eye(3, dtype=H.dtype).reshape(9))
+        return D4.reshape(N1, N1, 3, 3).transpose(2, 0, 3, 1).reshape(
+            3 * N1, 3 * N1)
+
+    def dense_inverse(H_cat, dtab):
+        """Explicit inverse of the (Jacobi-scaled) assembled Hessian in the
+        permuted layout — the frozen PCG preconditioner, refreshed once per
+        broad-shell rebuild (fused.py). Cholesky + triangular solve with n
+        RHS measured ~1-2 ms at n~3.3k on v5e (MXU-bound, unlike the
+        per-iteration latency-bound single-RHS triangular solves the old
+        per-iteration direct solve paid). Falls back to the Jacobi diagonal
+        when the factorization fails (indefinite H in Newton mode)."""
+        Hp = assemble_dense_perm(H_cat, dtab)
+        n = Hp.shape[0]
+        dg = jnp.diagonal(Hp)
+        ok_d = dg > 1e-30
+        s = jnp.where(ok_d, jax.lax.rsqrt(jnp.maximum(dg, 1e-30)), 1.0)
+        Hs = Hp * s[:, None] * s[None, :]
+        Hs = Hs + jnp.diag(jnp.where(ok_d, 0.0, 1.0).astype(Hp.dtype))
+        L = jax.lax.linalg.cholesky(Hs)
+        Li = jax.lax.linalg.triangular_solve(
+            L, jnp.eye(n, dtype=Hp.dtype), left_side=True, lower=True)
+        Hs_inv = Li.T @ Li
+        M = Hs_inv * s[:, None] * s[None, :]
+        ok = jnp.all(jnp.isfinite(M))
+        Mf = jnp.diag(s * s)
+        return jnp.where(ok, M, Mf), ok
+
+    def apply_dense_perm(M, r):
+        """q = M r with M in the permuted (component-major) layout and r in
+        the (n_blocks, 3) block layout."""
+        N1 = n_blocks + 1
+        r_pad = jnp.concatenate([r, jnp.zeros((1, 3), r.dtype)])
+        v = r_pad.T.reshape(-1)
+        q = M @ v
+        return q.reshape(3, N1).T[:n_blocks]
 
     def direct_solve(grad, H_cat, dtab):
         """du = -H^{-1} grad via dense Jacobi-scaled Cholesky over the
@@ -559,7 +708,7 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
         Hessians (ProjectedNewton mode)."""
         b = _max_arity
         N1 = n_blocks + 1
-        order, starts, pid_start, _ = dtab
+        order, starts, pid_start = dtab[0], dtab[1], dtab[2]
         H = H_cat[b]
         E_cat = H.shape[0]
         Hb = H.reshape(E_cat, b, 3, b, 3).transpose(0, 1, 3, 2, 4)
@@ -623,6 +772,14 @@ def make_evaluators(families: List[PotentialFamily], n_blocks: int):
     ev.split_dyn = split_dyn
     ev.direct_tables = direct_tables
     ev.direct_solve = direct_solve
+    ev.assemble_dense_perm = assemble_dense_perm
+    ev.dense_inverse = dense_inverse
+    ev.apply_dense_perm = apply_dense_perm
+    ev.dyn_conn_cat = dyn_conn_cat
+    ev.dyn_hess_cat = dyn_hess_cat
+    ev.live_select = live_select
+    ev.cat_static_conn = cat_static_conn
+    ev.cat_with_live = cat_with_live
     ev.scatter_rows = scatter_rows
     ev.scatter_table_rows = scatter_table_rows
     ev.hvp_bucket = hvp_bucket

@@ -202,14 +202,13 @@ def build_fused_solve(nm, engine):
             slack_b = jnp.clip(
                 2.5 * dt * jnp.maximum(du_ref, params["du_floor"]),
                 params["slack_broad_min"], params["slack_broad_max"])
-            bcands, icands, counts = engine.broad_fn(Vs, Vr, th_vec, slack_b)
+            bcands, icands, counts = engine.broad_fn(Vs, Vr, th_vec, slack_b,
+                                                     slack_p)
             return bcands, icands, (Vs, Vr), slack_b, _counts_arr(counts)
 
         def pair_build(u, bcands):
             """The cheap pair-shell build: exact distances over the frozen
-            broad buffers + the consolidated CG connectivity/scatter rows
-            with the dynamic families' ACTIVE rows pooled (no sorting
-            anywhere; frozen between pair rebuilds)."""
+            flat mid lists, routed into the family pair tables."""
             if engine is not None:
                 Vs, Vr = _world(u, eng_state, dt, ftype)
                 tables, counts = engine.pairs_fn(Vs, Vr, th_vec, bcands, slack_p)
@@ -219,17 +218,7 @@ def build_fused_solve(nm, engine):
                 Vr = jnp.zeros((0, 3), ftype)
                 tables = {}
                 carr = jnp.zeros((n_counts,), jnp.int32)
-            conn_cat, pool_sel, pool_cnt = ev.bucket_conn_pool(
-                full_data(tables), pool_cap)
-            rows = ev.scatter_rows(conn_cat)
-            carr = carr.at[hvp_pool_slot].max(pool_cnt.astype(jnp.int32))
-            if use_direct:
-                dtab = ev.direct_tables(conn_cat, slot_cap)
-                carr = carr.at[direct_slot].max(dtab[3].astype(jnp.int32))
-            else:
-                dtab = ()
-            return (tables, conn_cat, rows, pool_sel, pool_cnt, dtab,
-                    (Vs, Vr), carr)
+            return tables, (Vs, Vr), carr
 
         def isect_hit(u, icands):
             """Exact intersection tests over the frozen candidates."""
@@ -248,8 +237,7 @@ def build_fused_solve(nm, engine):
             bcands0, icands0 = {}, {}
             Vb0 = (jnp.zeros((0, 3), ftype), jnp.zeros((0, 3), ftype))
         p_sh = jax.eval_shape(pair_build, u0, bcands0)
-        (tables0, conn0, rows0, psel0, pcnt0, dtab0, Vp0,
-         _c) = jax.tree_util.tree_map(
+        tables0, Vp0, _c = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), p_sh)
 
         class Carry(NamedTuple):
@@ -274,16 +262,13 @@ def build_fused_solve(nm, engine):
             Vb: tuple
             slack_b: jnp.ndarray
             tables: dict
-            conn_cat: dict
-            rows: jnp.ndarray  # flat scatter row ids (frozen with the conn)
-            pool_sel: jnp.ndarray   # active-row pool selection (see assembly)
-            pool_cnt: jnp.ndarray
-            dtab: tuple             # direct-solve sorted layout (may be ())
             Vp: tuple
             du_prev: jnp.ndarray
             force_rb: jnp.ndarray
             n_broad_rb: jnp.ndarray   # broad-shell rebuild count (stats)
             n_pair_rb: jnp.ndarray    # pair-shell rebuild count (stats)
+            M: jnp.ndarray            # frozen dense-inverse preconditioner
+            m_ok: jnp.ndarray
 
         def cond(c: Carry):
             return jnp.logical_and(jnp.logical_not(c.done), c.it < params["max_iterations"])
@@ -314,12 +299,10 @@ def build_fused_solve(nm, engine):
             disp_b = jnp.where(need_b, 0.0, disp_b)
 
             need_p = need_b | (disp_p > 0.45 * slack_p)
-            (tables, conn_cat, rows, pool_sel, pool_cnt, dtab, Vp,
-             carr_p) = lax.cond(
+            tables, Vp, carr_p = lax.cond(
                 need_p,
                 lambda _: pair_build(u, bcands),
-                lambda _: (c.tables, c.conn_cat, c.rows, c.pool_sel,
-                           c.pool_cnt, c.dtab, c.Vp, counts_max),
+                lambda _: (c.tables, c.Vp, counts_max),
                 operand=None)
             counts_max = jnp.maximum(counts_max, carr_p)
 
@@ -367,56 +350,78 @@ def build_fused_solve(nm, engine):
                 | (past_min & (stall >= 2))
 
             # PD projection (NewtonsMethod.cpp:254-352, ProjectedNewton
-            # mode): static families project per family (native dims), the
-            # dynamic families project as ONE pooled stack of live rows —
-            # projection cost scales with live pairs, not capacities.
-            # Padded pool dims are zero rows/cols: their eigenvalues clamp
-            # to eps, adding eps on the dummy block only (routed away).
+            # mode): static families project per family (native dims, PSD
+            # families skipped); the dynamic families first select their
+            # NONZERO-Hessian rows at the current iterate (live_select —
+            # barrier Hessians are exactly zero outside dhat) so projection
+            # and CG cost scale with live pairs, not shell capacities.
             stat_names, _dyn_names = ev.split_dyn(hess.keys())
             hess_stat = {n: hess[n] for n in stat_names}
-            H_pool = ev.pool_dyn_hess(hess, pool_sel)
-            pool_valid = jnp.arange(pool_cap) < jnp.minimum(pool_cnt, pool_cap)
+            conn_dyn = ev.dyn_conn_cat(data)
+            H_dyn = ev.dyn_hess_cat(hess)
+            conn_live, H_live, live_valid, live_cnt = ev.live_select(
+                conn_dyn, H_dyn, pool_cap)
+            counts_max = counts_max.at[hvp_pool_slot].max(
+                live_cnt.astype(jnp.int32))
             if do_project:
                 hess_stat_p, n_proj = project.project_all(
                     hess_stat, eps, mirroring,
                     {n: data[n] for n in stat_names},
-                    jacobi_sweeps=nm._jacobi_sweeps)
+                    jacobi_sweeps=nm._jacobi_sweeps,
+                    psd_names=nm._psd_names)
                 if pool_cap:
-                    H_pool, ch = project.project_family_to_pd(
-                        H_pool, eps, mirroring, elem_mask=pool_valid,
+                    H_live, ch = project.project_family_to_pd(
+                        H_live, eps, mirroring, elem_mask=live_valid,
                         jacobi_sweeps=nm._jacobi_sweeps)
                     n_proj = n_proj + jnp.sum(ch.astype(jnp.int32))
             else:
                 hess_stat_p, n_proj = hess_stat, jnp.zeros((), jnp.int32)
             n_hess = (project.count_elements(hess_stat, data)
-                      + jnp.minimum(pool_cnt, pool_cap).astype(jnp.int32))
+                      + jnp.minimum(live_cnt, pool_cap).astype(jnp.int32))
 
-            # BDPCG with forcing sequence (NewtonsMethod.cpp:423) over the
+            # PCG with forcing sequence (NewtonsMethod.cpp:423) over the
             # pooled single-bucket layout: the scatter rows and pool
             # selection are frozen with the pair topology, only the element
-            # Hessians are re-consolidated per iteration
-            H_cat = ev.cat_hess_with_pool(hess_stat_p, H_pool)
+            # Hessians are re-consolidated per iteration.
+            conn_cat, H_cat = ev.cat_with_live(
+                ev.cat_static_conn(data), hess_stat_p, conn_live, H_live)
+            rows = ev.scatter_rows(conn_cat)
             if use_direct:
-                # exact dense solve (assembly.direct_solve): replaces the
-                # whole PCG loop at small scales AND the forcing-sequence
-                # inexactness
-                du, dok = ev.direct_solve(grad, H_cat, dtab)
-                cg_n = jnp.zeros((), jnp.int32)
-                cg_ok = dok
+                # small scenes: dense-INVERSE preconditioner frozen per
+                # broad-shell rebuild (assembly.dense_inverse). Within a
+                # rebuild window H drifts smoothly, so M~H^-1 drives CG to
+                # the forcing tolerance in a handful of matrix-free
+                # iterations — replacing the old per-iteration dense direct
+                # solve whose assembly (f64-emulated cumsum + 65k-row
+                # scatter + block-layout retiling) measured ~25 ms/iter of
+                # device time on v5e.
+                def _refresh_m(_):
+                    dtab = ev.direct_tables(conn_cat, slot_cap)
+                    M, ok = ev.dense_inverse(H_cat, dtab)
+                    return M, ok, dtab[3].astype(jnp.int32)
+
+                M, m_ok, n_slots = lax.cond(
+                    need_b,
+                    _refresh_m,
+                    lambda _: (c.M, c.m_ok, jnp.zeros((), jnp.int32)),
+                    operand=None)
+                counts_max = counts_max.at[direct_slot].max(n_slots)
+                Minv = lambda r: ev.apply_dense_perm(M, r)
             else:
-                forcing = jnp.minimum(
-                    1e-2, res * jnp.minimum(0.5, jnp.sqrt(res)))
-                abs_tol = jnp.maximum(forcing, params["cg_abs_tolerance"])
+                M, m_ok = c.M, c.m_ok
                 D = ev.diag_bucket(conn_cat, H_cat)
                 Dinv = assembly.precondition_inverse(D)
-                A = lambda p: ev.hvp_bucket(p, conn_cat, H_cat, rows)
                 Minv = lambda r: assembly.apply_preconditioner(Dinv, r)
-                cg = solve_pcg(A, Minv, -grad, abs_tol,
-                               params["cg_rel_tolerance"],
-                               s.cg_max_iterations, s.cg_stop_on_indefiniteness)
-                du = cg.x
-                cg_n = cg.n_iterations
-                cg_ok = cg.converged
+            forcing = jnp.minimum(
+                1e-2, res * jnp.minimum(0.5, jnp.sqrt(res)))
+            abs_tol = jnp.maximum(forcing, params["cg_abs_tolerance"])
+            A = lambda p: ev.hvp_bucket(p, conn_cat, H_cat, rows)
+            cg = solve_pcg(A, Minv, -grad, abs_tol,
+                           params["cg_rel_tolerance"],
+                           s.cg_max_iterations, s.cg_stop_on_indefiniteness)
+            du = cg.x
+            cg_n = cg.n_iterations
+            cg_ok = cg.converged
             dug = jnp.vdot(du, grad)
             du_max = jnp.max(jnp.abs(du))
             reach_du = du_reach(du)
@@ -550,11 +555,11 @@ def build_fused_solve(nm, engine):
                 n_hess=c.n_hess + n_hess.astype(jnp.int32),
                 res=res, E0=E0, stall=stall, counts_max=counts_max,
                 bcands=bcands, icands=icands, Vb=Vb, slack_b=slack_b,
-                tables=tables, conn_cat=conn_cat, rows=rows,
-                pool_sel=pool_sel, pool_cnt=pool_cnt, dtab=dtab, Vp=Vp,
+                tables=tables, Vp=Vp,
                 du_prev=reach_du, force_rb=force_rb,
                 n_broad_rb=c.n_broad_rb + need_b.astype(jnp.int32),
                 n_pair_rb=c.n_pair_rb + need_p.astype(jnp.int32),
+                M=M, m_ok=m_ok,
             )
 
         z32 = jnp.zeros((), jnp.int32)
@@ -566,11 +571,13 @@ def build_fused_solve(nm, engine):
                      n_proj=z32, n_hess=z32, res=zf, E0=jnp.zeros((), jnp.float64),
                      stall=z32, counts_max=counts_ff,
                      bcands=bcands0, icands=icands0, Vb=Vb0, slack_b=zf,
-                     tables=tables0, conn_cat=conn0, rows=rows0,
-                     pool_sel=psel0, pool_cnt=pcnt0, dtab=dtab0, Vp=Vp0,
+                     tables=tables0, Vp=Vp0,
                      du_prev=params["du_prior"].astype(ftype),
                      force_rb=jnp.zeros((), bool),
-                     n_broad_rb=z32, n_pair_rb=z32)
+                     n_broad_rb=z32, n_pair_rb=z32,
+                     M=jnp.zeros((3 * (n_blocks + 1),) * 2 if use_direct
+                                 else (0, 0), ftype),
+                     m_ok=jnp.zeros((), bool))
         final = lax.while_loop(cond, body, init)
         # loop exhausted without done -> TooManyIterations (or success if configured)
         exhausted = jnp.logical_not(final.done)

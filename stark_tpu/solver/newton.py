@@ -111,17 +111,15 @@ class NewtonsMethod:
         self._hvp_K = 128
         self._hvp_K2 = 256
         self._hvp_hot = 8
-        # active-row pool capacity for the dynamic (contact/friction)
-        # families (assembly.bucket_conn_pool): CG/projection cost scales
-        # with this, so it is sized for realistic live-pair counts (the
-        # 32x32 bench drape peaks under 2k) and doubles on overflow
+        # LIVE-row capacity for the dynamic (contact/friction) families
+        # (assembly.live_select): rows with nonzero element Hessians at the
+        # current iterate (d < dhat barrier rows + friction rows) —
+        # projection and CG cost scale with this. Drape-measured: ~0.5-2k
+        # live rows at 32x32 while the slack_p shell holds ~10k.
         self._pool_cap = 8
         if get_engine is not None and get_engine() is not None:
             eng = get_engine()
-            # drape-measured: live (d <= dhat+slack_p) rows exceed n_edges
-            # on layered cloth; one power of two above that avoids the
-            # mid-run bump
-            need = max(2048, 2 * len(eng.sv_gid) + len(eng.es))
+            need = max(2048, (2 * len(eng.sv_gid) + len(eng.es)) // 2)
             self._pool_cap = 1 << (need - 1).bit_length()
             if len(eng.rv_body):
                 # every rb-involving pair row lands on the same v/w blocks
@@ -152,13 +150,17 @@ class NewtonsMethod:
 
         self._jacobi_sweeps = (jacobi_sweeps if jacobi_sweeps is not None
                                else project.default_jacobi_sweeps())
+        # families PSD by construction skip the eigendecomposition entirely
+        self._psd_names = frozenset(f.name for f in families if f.psd)
         self._jit_energy = jax.jit(self._energy)
         self._jit_egh = jax.jit(self._energy_grad_hess)
         self._jit_project_all = jax.jit(
-            partial(project.project_all, jacobi_sweeps=self._jacobi_sweeps),
+            partial(project.project_all, jacobi_sweeps=self._jacobi_sweeps,
+                    psd_names=self._psd_names),
             static_argnames=("eps", "mirroring"))
         self._jit_project_sel = jax.jit(
-            partial(project.project_selective, jacobi_sweeps=self._jacobi_sweeps),
+            partial(project.project_selective, jacobi_sweeps=self._jacobi_sweeps,
+                    psd_names=self._psd_names),
             static_argnames=("eps", "mirroring"))
         self._jit_cg = jax.jit(self._cg_stage, static_argnames=("stop_on_indef",))
         self._jit_cg_direct = jax.jit(self._direct_stage)

@@ -41,6 +41,15 @@ class PotentialFamily:
     # True for families whose (conn, rows) are refreshed every Newton
     # iteration (contact) rather than frozen at initialization.
     dynamic: bool = False
+    # True for families whose element Hessians are PSD BY CONSTRUCTION
+    # (quadratic energies in the DOFs with frozen coefficients: lumped /
+    # rigid inertia, prescribed positions, d-d attachments, Bergou
+    # flat-rest-angle bending). The PD projection skips them — the
+    # reference projects every element (project_to_PD.cpp:12-48) but its
+    # per-element eigendecompositions are cheap on CPU; on TPU the batched
+    # eigensolve is a measurable per-iteration cost and a provably-PSD
+    # family projects to itself.
+    psd: bool = False
 
 
 class FamilyData:

@@ -142,13 +142,18 @@ def project_family_to_pd(H, eps: float, mirroring: bool, elem_mask=None,
 
 
 def project_all(hess: Dict[str, jnp.ndarray], eps: float, mirroring: bool,
-                data=None, jacobi_sweeps: int = 0):
+                data=None, jacobi_sweeps: int = 0, psd_names=()):
     """ProjectedNewton mode: project every element Hessian
     (ElementHessians project_to_PD_inplace__all). `data` restricts the
-    changed-count to active rows (padded zero Hessians always "change")."""
+    changed-count to active rows (padded zero Hessians always "change").
+    Families in `psd_names` are PSD by construction and pass through
+    unchanged (PotentialFamily.psd)."""
     out = {}
     n_changed = jnp.zeros((), dtype=jnp.int32)
     for name, H in hess.items():
+        if name in psd_names:
+            out[name] = H
+            continue
         Hp, changed = project_family_to_pd(H, eps, mirroring,
                                            jacobi_sweeps=jacobi_sweeps)
         out[name] = Hp
@@ -159,13 +164,17 @@ def project_all(hess: Dict[str, jnp.ndarray], eps: float, mirroring: bool,
 
 
 def project_selective(hess: Dict[str, jnp.ndarray], data, eps: float,
-                      mirroring: bool, block_mask, jacobi_sweeps: int = 0):
+                      mirroring: bool, block_mask, jacobi_sweeps: int = 0,
+                      psd_names=()):
     """Progressive (PPN) mode: project only elements touching DOF blocks whose
     gradient magnitude exceeds the threshold (NewtonsMethod.cpp:310-334).
     block_mask: (n_blocks,) bool."""
     out = {}
     n_changed = jnp.zeros((), dtype=jnp.int32)
     for name, H in hess.items():
+        if name in psd_names:
+            out[name] = H
+            continue
         conn = data[name]["conn"]
         elem_mask = jnp.logical_and(jnp.any(block_mask[conn], axis=1),
                                     data[name]["rows"]["active"] > 0.5)
