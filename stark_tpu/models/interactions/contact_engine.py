@@ -423,6 +423,20 @@ class ContactEngine:
                     # combined budget proportional to the family cap
                     h = 4 * self._cap(name[2:] if name.startswith("m_")
                                       else name[3:])
+            elif name.startswith("w_"):
+                # stage-A ball-bound wide lists (transient inside one broad
+                # build): the ball slop inflates the exact mid count by the
+                # covering radii (tri ~ cell size, edge ~ half-length), an
+                # area factor ~2-4x; clamped by the dense matrix size
+                kind = name[2:]
+                mkey = "im_et" if kind == "et" else "m_" + kind
+                if kind == "pt":
+                    full = len(self.p_mesh_all) * max(len(self.tris_all), 1)
+                elif kind == "ee":
+                    full = len(self.edges_all) ** 2
+                else:
+                    full = len(self.edges_all) * max(len(self.tris_all), 1)
+                h = min(4 * self._cap(mkey), max(full, 256))
             elif name.startswith("g_"):
                 # spatial-hash structural caps: per-target insertion slots /
                 # per-query bucket-scan length. The scan length sizes a
@@ -1021,6 +1035,65 @@ class ContactEngine:
         )(m)
         return d - h[:, None]
 
+    # ------------------------------------------------------------------
+    # two-stage dense candidate generation (fused broad shell)
+    #
+    # Stage A (bounding balls, MXU): every primitive kind is covered by a
+    # ball (point: the point; edge: midpoint + half-length; triangle:
+    # centroid + covering radius), so d(A, B) >= |c_A - c_B| - r_A - r_B.
+    # The dense |c_A - c_B|^2 matrix is ONE matmul (|a|^2 + |b|^2 - 2 a.b)
+    # plus a fused compare — no (N, M, k) classifier intermediates. The
+    # exact dense matrices this replaces (vmapped 7/9-region classifiers
+    # over every pair) measured 62 ms of device time per broad build at
+    # 32x32; three ball matmuls + compactions measure ~5 ms.
+    # Stage B (exact, flat): exact distances ONLY over the compacted
+    # stage-A wide list, re-compacted into the tight mid lists — identical
+    # final semantics to the exact dense matrices.
+    # ------------------------------------------------------------------
+    def _tri_balls(self, Vcat):
+        tris = jnp.asarray(self.tris_all)
+        t0, t1, t2 = Vcat[tris[:, 0]], Vcat[tris[:, 1]], Vcat[tris[:, 2]]
+        c = (t0 + t1 + t2) / 3.0
+        r = jnp.sqrt(jnp.maximum(jnp.maximum(
+            jnp.sum((t0 - c) ** 2, -1), jnp.sum((t1 - c) ** 2, -1)),
+            jnp.sum((t2 - c) ** 2, -1)))
+        return c, r
+
+    def _edge_balls(self, Vcat):
+        edges = jnp.asarray(self.edges_all)
+        p0, p1 = Vcat[edges[:, 0]], Vcat[edges[:, 1]]
+        m = 0.5 * (p0 + p1)
+        h = 0.5 * jnp.linalg.norm(p1 - p0, axis=-1)
+        return m, h
+
+    def _bound_pad(self, Vcat):
+        """Absolute slop added to the ball threshold covering the f32
+        cancellation of the matmul-form |a|^2+|b|^2-2a.b at coordinate
+        magnitude ~max|V|: |d2_err| <= ~8 eps max|V|^2, so the distance
+        slop at separation ~dhat is err/(2 dhat); bounded instead by its
+        sqrt form which is valid at ALL separations."""
+        scale = 1.0 + jnp.max(jnp.abs(Vcat)) if Vcat.shape[0] else 1.0
+        return 8.0 * jnp.sqrt(jnp.asarray(
+            jnp.finfo(self.dtype).eps, self.dtype)) * scale
+
+    def _ball_wide(self, key, A, ra, B, rb, allowed, extra):
+        """Stage A: flat wide list of pairs with |c_A-c_B| - ra - rb <=
+        extra (per-side radii already include contact thickness where
+        applicable). Compare is done in squared form; rhs >= 0 always."""
+        a2 = jnp.sum(A * A, -1)
+        b2 = jnp.sum(B * B, -1)
+        m2 = a2[:, None] + b2[None, :] - 2.0 * (A @ B.T)
+        rhs = ra[:, None] + rb[None, :] + extra
+        valid = jnp.asarray(allowed) & (m2 <= rhs * rhs)
+        return self._mid_compact(valid, self._cap(key))
+
+    @staticmethod
+    def _refine(q, t, act, keep, cap):
+        """Stage B re-compaction of wide rows into the tight mid list."""
+        sel, cnt = compact_indices(act & keep, cap)
+        a2 = jnp.arange(cap) < jnp.minimum(cnt, cap)
+        return (q[sel], t[sel], a2), cnt
+
     @staticmethod
     def _mid_compact(valid, cap):
         """(q, t, act) flat mid list from a dense validity matrix."""
@@ -1160,15 +1233,41 @@ class ContactEngine:
             mcands, counts = self._broad_grid(Vs, Vr, th, slack_b, slack_p)
         else:
             Vcat = self._vcat(Vs, Vr)
+            pad = self._bound_pad(Vcat)
+            th_p = th[jnp.asarray(self.p_mesh_all)]
+            th_t = th[jnp.asarray(self.t_mesh_all)] if len(self.t_mesh_all) \
+                else th[:0]
+            th_e = th[jnp.asarray(self.e_mesh_all)] if len(self.e_mesh_all) \
+                else th[:0]
             if self._pt_stems():
-                d, dhat = self._pt_dense_d(Vcat, th)
-                valid = jnp.asarray(self.pt_allowed_dense) & (d <= dhat + margin)
-                mcands["pt"], cnt = self._mid_compact(valid, self._cap("m_pt"))
+                c, r = self._tri_balls(Vcat)
+                (q, t, act), wcnt = self._ball_wide(
+                    "w_pt", Vcat, th_p, c, r + th_t,
+                    self.pt_allowed_dense, margin + pad)
+                counts["w_pt"] = wcnt
+                tq = jnp.asarray(self.tris_all)[t]
+                d = jax.vmap(nph.point_triangle_distance)(
+                    Vcat[q], Vcat[tq[:, 0]], Vcat[tq[:, 1]], Vcat[tq[:, 2]])
+                keep = d <= th_p[q] + th_t[t] + margin
+                mcands["pt"], cnt = self._refine(q, t, act, keep,
+                                                 self._cap("m_pt"))
                 counts["m_pt"] = cnt
             if self._ee_stems():
-                d, dhat = self._ee_dense_d(Vcat, th)
-                valid = jnp.asarray(self.ee_allowed_dense) & (d <= dhat + margin)
-                mcands["ee"], cnt = self._mid_compact(valid, self._cap("m_ee"))
+                m, h = self._edge_balls(Vcat)
+                (a, b, act), wcnt = self._ball_wide(
+                    "w_ee", m, h + th_e, m, h + th_e,
+                    self.ee_allowed_dense, margin + pad)
+                counts["w_ee"] = wcnt
+                edges = jnp.asarray(self.edges_all)
+                ea, eb = edges[a], edges[b]
+                ptol = self.model.edge_edge_cross_norm_sq_cutoff
+                d = jax.vmap(lambda x0, x1, y0, y1: nph.edge_edge_distance(
+                    x0, x1, y0, y1, parallel_tol=ptol))(
+                    Vcat[ea[:, 0]], Vcat[ea[:, 1]],
+                    Vcat[eb[:, 0]], Vcat[eb[:, 1]])
+                keep = d <= th_e[a] + th_e[b] + margin
+                mcands["ee"], cnt = self._refine(a, b, act, keep,
+                                                 self._cap("m_ee"))
                 counts["m_ee"] = cnt
         if self.model.global_params.intersection_test_enabled:
             icands, icounts = self._isect_stage1(Vs, Vr, slack=slack_b)
@@ -1274,9 +1373,9 @@ class ContactEngine:
         keys = []
         if self.dense_pt and self.dense_ee:
             if self._pt_stems():
-                keys.append("m_pt")
+                keys += ["w_pt", "m_pt"]
             if self._ee_stems():
-                keys.append("m_ee")
+                keys += ["w_ee", "m_ee"]
         else:
             for stem in self._blocks():
                 keys += self._stage1_keys(stem)
@@ -1363,6 +1462,7 @@ class ContactEngine:
     def _check_overflow(self, keys, counts_arr) -> bool:
         counts_np = np.asarray(counts_arr)
         overflow = False
+        self._last_overflow = []
         for k, c in zip(keys, counts_np):
             if k.startswith("n_live_"):  # metric, not a capacity
                 continue
@@ -1370,6 +1470,7 @@ class ContactEngine:
             if c > self._caps[k]:
                 self._caps[k] = max(2 * self._caps[k], int(1.5 * c))
                 overflow = True
+                self._last_overflow.append((k, c))
         return overflow
 
     def refresh_contacts(self, dt):
@@ -1535,8 +1636,8 @@ class ContactEngine:
     def intersect_count_keys(self):
         """Exactly the count keys _isect_stage1 emits."""
         if self.dense_et:
-            return ["im_et"] if (len(self.edges_all) and len(self.tris_all)) \
-                else []
+            return ["w_et", "im_et"] \
+                if (len(self.edges_all) and len(self.tris_all)) else []
         keys = []
         for k, nq, nt in self._i_blocks():
             keys.append(k)
@@ -1569,12 +1670,22 @@ class ContactEngine:
             if len(self.edges_all) == 0 or len(self.tris_all) == 0:
                 return {}, counts
             Vcat = self._vcat(Vs, Vr)
-            d_lb = self._et_dense_lb(Vcat)
-            valid = jnp.asarray(self.et_allowed_dense) & (d_lb <= sl)
+            # stage A ball bound d(seg,tri) >= |m-c| - h - r, stage B exact
+            # lower bound d(mid,tri) - h over the wide rows only
+            m, h = self._edge_balls(Vcat)
+            c, r = self._tri_balls(Vcat)
+            (e, t, act), wcnt = self._ball_wide(
+                "w_et", m, h, c, r, self.et_allowed_dense,
+                sl + self._bound_pad(Vcat))
+            counts["w_et"] = wcnt
+            tq = jnp.asarray(self.tris_all)[t]
+            d_mid = jax.vmap(nph.point_triangle_distance)(
+                m[e], Vcat[tq[:, 0]], Vcat[tq[:, 1]], Vcat[tq[:, 2]])
+            keep = d_mid - h[e] <= sl
             cap = self._cap("im_et")
-            (e, t, act), cnt = self._mid_compact(valid, cap)
+            (e, t, act), cnt = self._refine(e, t, act, keep, cap)
             counts["im_et"] = cnt
-            return {"et": (e, t, act, cnt > cap)}, counts
+            return {"et": (e, t, act, (cnt > cap) | (wcnt > self._cap("w_et")))}, counts
         # grid path: per-block stage 1 -> exact lower bound over the
         # (Ne, K) candidate grid -> flat per-block mid segments in global
         # primitive ids, concatenated

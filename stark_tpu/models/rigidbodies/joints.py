@@ -95,6 +95,15 @@ class RBCGlobalDirectionHandler(_BaseHandler, _AngleToleranceMixin):
         d = np.asarray(d_glob, dtype=np.float64)
         return self._set_vec("target", d / np.linalg.norm(d))
 
+    def set_rotation(self, R):
+        """Rotate the BODY-LOCAL locked direction (the reference's
+        set_rotation, rigidbody_constraints_ui.h:91 sets
+        d_loc = R * d_loc_rest): the global target stays put, so the body
+        itself must rotate by R^-1 to satisfy the constraint. Animated fix
+        constraints (set_transformation) rely on this convention."""
+        rest = self.cont.vec["d_loc_rest"][self.idx]
+        return self._set_vec("d_loc", np.asarray(R, np.float64) @ rest)
+
 
 class RBCPointHandler(_BaseHandler, _DistanceToleranceMixin):
     def get_violation_in_m_and_force(self):
@@ -202,13 +211,20 @@ class RBCFixHandler:
         return self
 
     def set_transformation(self, t, angle_deg=0.0, axis=(0, 0, 1)):
-        """Reposition the fixed target (used by scripted rigid animations)."""
+        """Reposition the fixed target (used by scripted rigid animations).
+
+        Matches the reference convention (rigidbody_constraints_ui.h:
+        369-379): the anchor target moves to `t` in WORLD space, while the
+        rotation is applied to the LOCKED LOCAL DIRECTIONS — the global
+        direction targets never move, so a positive angle here rotates the
+        BODY by the inverse rotation (verified against the reference's box
+        quaternion trajectory in tests/test_trajectory_parity.py)."""
         from ... import maths
 
         R = maths.axis_angle_rotation(np.deg2rad(angle_deg), axis)
         self.anchor.set_target_position(t)
-        self.z_lock.set_target_direction(R @ np.array([0.0, 0.0, 1.0]))
-        self.x_lock.set_target_direction(R @ np.array([1.0, 0.0, 0.0]))
+        self.z_lock.set_rotation(R)
+        self.x_lock.set_rotation(R)
         return self
 
 
@@ -363,9 +379,12 @@ class ConstraintFactories:
         d = np.asarray(d_glob, dtype=np.float64)
         d = d / np.linalg.norm(d)
         c = self.m.global_directions
+        d_loc = body.transform_global_to_local_direction(d)
+        # d_loc_rest: creation-time local direction, the base that
+        # set_rotation re-rotates (reference d_loc_rest, ui.h:91)
         idx = c._push(body.get_idx(), None, self._k, self._tol_deg,
-                      vecs={"d_loc": body.transform_global_to_local_direction(d),
-                            "target": d})
+                      vecs={"d_loc": d_loc, "target": d,
+                            "d_loc_rest": d_loc})
         return RBCGlobalDirectionHandler(self.m, c, idx)
 
     def add_constraint_point(self, body_a, body_b, p_glob):

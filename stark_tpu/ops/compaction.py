@@ -5,17 +5,28 @@ This is the TPU replacement for the reference's dynamic contact-pair arrays
 std::vectors): a flat candidate mask is compacted into a static-capacity
 index buffer, with the true count returned for overflow detection.
 
-Why not `jnp.nonzero(size=cap)` / `jnp.cumsum`: XLA:TPU lowers their prefix
-scans to (u32,u32) pair-typed reduce-windows and then fuses the (potentially
-tens-of-millions-entry) candidate-mask producer into the scan's on-stack
-operand — the scoped-VMEM stack allocation blows the 16 MiB budget. That is
-a compile failure at best, and with a raised `xla_tpu_scoped_vmem_limit_kib`
-a runtime kernel fault on v5e. The scan below uses only pad-shift-adds
-(log-step Hillis-Steele over 128 lanes plus a recursive carry scan): exact
-int32 arithmetic, no reduce-window anywhere, fusion-safe, deterministic.
+Algorithm: 128-ary TRIE RANK-SELECT. The mask is reduced level by level in
+lane-width blocks (n -> n/128 -> n/128^2 ...) by sequential reshape-sums —
+pure streaming traffic, no prefix scan, no reduce_window, no scatter. The
+j-th set bit is then located by walking the trie top-down: at each level
+one COALESCED (k, 128) row gather (slice size 128 = one lane row) plus an
+in-register lane cumsum picks the child containing rank j. Total cost is
+~levels (<= 4) coalesced row-gather passes over (k, 128) i32 tensors.
+
+Why not alternatives measured on v5e:
+  * `jnp.cumsum` + `searchsorted`: k x log2(n) RANDOM 4-byte HBM gathers
+    at ~5-10 ns each — 35 ms for k=330k over n=10M, and it DOMINATED the
+    broad collision phase. The trie walk replaces the random gathers with
+    coalesced 512-byte row gathers: ~10x fewer HBM transactions.
+  * XLA scatter of i -> rank(i): processes all n updates at ~1/cycle
+    (~11 ms at n=10M) and is nondeterministic-unfriendly.
+  * `jnp.nonzero`: lowers to the (u32,u32) reduce-window scan whose fused
+    on-stack operand blows the 16 MiB scoped-VMEM budget (compile failure
+    or runtime kernel fault).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _LANES = 128
@@ -50,28 +61,59 @@ def compact_indices(flat_mask, cap: int):
     (cap,) int32 buffer, ascending, padded with 0 — the same contract as
     `jnp.nonzero(flat, size=cap, fill_value=0)`. Returns (idx, count) where
     `count` is the TOTAL number of true entries (may exceed cap: overflow
-    must be detected by the caller, mirroring the capacity-bump retry of the
-    reference's growing pair arrays).
-
-    The gather step is a vectorized binary search over the inclusive scan
-    (the j-th true element is the first position where it reaches j+1) —
-    an XLA scatter here would serialize ~1 update/cycle over the full
-    (possibly tens-of-millions-entry) mask, dominating the entire broad
-    phase; cap binary-search gathers are ~log2(n) fused passes instead."""
+    must be detected by the caller, mirroring the capacity-bump retry of
+    the reference's growing pair arrays)."""
     n = flat_mask.size
     if n == 0:
         return jnp.zeros((cap,), jnp.int32), jnp.zeros((), jnp.int32)
-    m = flat_mask.astype(jnp.int32)
-    incl = exclusive_scan(m) + m
-    # never search for more slots than the mask can hold: the searchsorted
-    # gather cost is proportional to the slot count (each slot runs a
-    # log2(n)-step binary search), and several call sites size `cap` from
-    # worst-case geometry far above the actual mask size
+
+    # ---- build the trie: level[0] = per-lane-block sums of the mask ----
+    base = flat_mask.astype(jnp.int32)
+    pad = (-n) % _LANES
+    leaf = jnp.pad(base, (0, pad)).reshape(-1, _LANES)   # (G0, 128)
+    levels = [leaf]
+    while levels[-1].shape[0] > 1:
+        sums = jnp.sum(levels[-1], axis=1, dtype=jnp.int32)  # (G,)
+        g = sums.shape[0]
+        p = (-g) % _LANES
+        levels.append(jnp.pad(sums, (0, p)).reshape(-1, _LANES))
+    count = jnp.sum(levels[-1][0], dtype=jnp.int32) if len(levels) > 1 \
+        else jnp.sum(leaf, dtype=jnp.int32)
+
+    # ---- walk: locate the (j+1)-th set bit, vectorized over k slots ----
+    # Counts fit f32 exactly below 2^24, letting the lane inclusive scan be
+    # ONE MXU matmul against a lower-triangular ones matrix (k x 128 @
+    # 128 x 128) instead of 7 separately-materialized shift-add passes —
+    # measured 60 -> ~6 ms at n=10M, k=524k on v5e. consumed (the prefix
+    # below the chosen lane) is a masked reduction, not a second gather.
     k = min(cap, n)
-    j = jnp.arange(k, dtype=jnp.int32)
-    pos = jnp.searchsorted(incl, j + 1, side="left").astype(jnp.int32)
-    count = incl[-1]
-    idx = jnp.where(j < jnp.minimum(count, k), jnp.clip(pos, 0, n - 1), 0)
+    use_mxu = n < (1 << 24)
+    tril = jnp.tril(jnp.ones((_LANES, _LANES), jnp.float32)) if use_mxu \
+        else None
+    rank = jnp.arange(1, k + 1, dtype=jnp.int32)          # 1-based ranks
+    idx = jnp.zeros((k,), jnp.int32)                      # trie node index
+    for li, lvl in enumerate(reversed(levels)):
+        rows = lvl[idx]                                   # (k, 128) coalesced
+        if use_mxu:
+            # TPU MXU rounds f32 operands to bf16 at DEFAULT precision:
+            # exact for the leaf's 0/1 rows (f32 accumulation), but upper
+            # levels carry block sums > 256 that bf16 truncates — HIGHEST
+            # (3-limb bf16) keeps integer limbs < 2^24 exact there.
+            is_leaf = li == len(levels) - 1
+            prec = None if is_leaf else jax.lax.Precision.HIGHEST
+            incl = jnp.matmul(rows.astype(jnp.float32), tril.T,
+                              precision=prec).astype(jnp.int32)
+        else:
+            incl = _scan_lanes(rows)
+        before = incl < rank[:, None]                     # lanes left of hit
+        lane = jnp.sum(before.astype(jnp.int32), axis=1)
+        lane = jnp.minimum(lane, _LANES - 1)
+        consumed = jnp.sum(rows * before.astype(jnp.int32), axis=1)
+        rank = rank - consumed
+        idx = idx * _LANES + lane
+
+    valid = jnp.arange(k, dtype=jnp.int32) < jnp.minimum(count, k)
+    idx = jnp.where(valid, jnp.minimum(idx, n - 1), 0)
     if k < cap:
         idx = jnp.pad(idx, (0, cap - k))
     return idx, count

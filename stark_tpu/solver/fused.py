@@ -151,7 +151,8 @@ def build_fused_solve(nm, engine):
             m = jnp.maximum(m, jnp.max(mv + mw * r_max))
         return m
 
-    def fused_solve(u0, static_data, friction_data, glob, eng_state, th_vec, params):
+    def fused_solve(u0, static_data, friction_data, glob, eng_state, th_vec,
+                    params, M0):
         dt = glob["dt"]
         ftype = u0.dtype
         slack_p = params["slack_pair"]
@@ -268,7 +269,7 @@ def build_fused_solve(nm, engine):
             n_broad_rb: jnp.ndarray   # broad-shell rebuild count (stats)
             n_pair_rb: jnp.ndarray    # pair-shell rebuild count (stats)
             M: jnp.ndarray            # frozen dense-inverse preconditioner
-            m_ok: jnp.ndarray
+            m_q: jnp.ndarray          # last NS residual max|I - Hs Ms|
 
         def cond(c: Carry):
             return jnp.logical_and(jnp.logical_not(c.done), c.it < params["max_iterations"])
@@ -387,28 +388,40 @@ def build_fused_solve(nm, engine):
                 ev.cat_static_conn(data), hess_stat_p, conn_live, H_live)
             rows = ev.scatter_rows(conn_cat)
             if use_direct:
-                # small scenes: dense-INVERSE preconditioner frozen per
-                # broad-shell rebuild (assembly.dense_inverse). Within a
-                # rebuild window H drifts smoothly, so M~H^-1 drives CG to
-                # the forcing tolerance in a handful of matrix-free
-                # iterations — replacing the old per-iteration dense direct
-                # solve whose assembly (f64-emulated cumsum + 65k-row
-                # scatter + block-layout retiling) measured ~25 ms/iter of
-                # device time on v5e.
+                # small scenes: PERSISTENT dense-inverse preconditioner
+                # tracked by Newton-Schulz sweeps (assembly.ns_refresh):
+                # M ~= H^-1 is carried across iterations AND time steps
+                # (passed in as M0, returned to the host handle), refreshed
+                # with one warm GEMM sweep whenever the pair shell rebuilds
+                # — the moments H actually jumps (new barrier rows). The
+                # cold start / hardening-jump path re-seeds from
+                # I/||Hs||_inf inside the same program. Replaces the
+                # per-broad-rebuild Cholesky + n-RHS triangular solve
+                # (~48 ms measured at n=3.3k) with ~2-4 ms of MXU work,
+                # and keeps CG at a handful of iterations instead of the
+                # 30+/Newton a stale frozen inverse caused.
                 def _refresh_m(_):
                     dtab = ev.direct_tables(conn_cat, slot_cap)
-                    M, ok = ev.dense_inverse(H_cat, dtab)
-                    return M, ok, dtab[3].astype(jnp.int32)
+                    M, q = ev.ns_refresh(c.M, H_cat, dtab)
+                    return M, q, dtab[3].astype(jnp.int32)
 
-                M, m_ok, n_slots = lax.cond(
-                    need_b,
+                need_m = need_p | (c.m_q > 0.5)
+                M, m_q, n_slots = lax.cond(
+                    need_m,
                     _refresh_m,
-                    lambda _: (c.M, c.m_ok, jnp.zeros((), jnp.int32)),
+                    lambda _: (c.M, c.m_q, jnp.zeros((), jnp.int32)),
                     operand=None)
                 counts_max = counts_max.at[direct_slot].max(n_slots)
-                Minv = lambda r: ev.apply_dense_perm(M, r)
+                D = ev.diag_bucket(conn_cat, H_cat)
+                Dinv = assembly.precondition_inverse(D)
+                m_good = m_q < 0.5
+
+                def Minv(r):
+                    qd = ev.apply_dense_perm(M, r)
+                    qj = assembly.apply_preconditioner(Dinv, r)
+                    return jnp.where(m_good, qd, qj)
             else:
-                M, m_ok = c.M, c.m_ok
+                M, m_q = c.M, c.m_q
                 D = ev.diag_bucket(conn_cat, H_cat)
                 Dinv = assembly.precondition_inverse(D)
                 Minv = lambda r: assembly.apply_preconditioner(Dinv, r)
@@ -559,7 +572,7 @@ def build_fused_solve(nm, engine):
                 du_prev=reach_du, force_rb=force_rb,
                 n_broad_rb=c.n_broad_rb + need_b.astype(jnp.int32),
                 n_pair_rb=c.n_pair_rb + need_p.astype(jnp.int32),
-                M=M, m_ok=m_ok,
+                M=M, m_q=m_q,
             )
 
         z32 = jnp.zeros((), jnp.int32)
@@ -575,9 +588,9 @@ def build_fused_solve(nm, engine):
                      du_prev=params["du_prior"].astype(ftype),
                      force_rb=jnp.zeros((), bool),
                      n_broad_rb=z32, n_pair_rb=z32,
-                     M=jnp.zeros((3 * (n_blocks + 1),) * 2 if use_direct
-                                 else (0, 0), ftype),
-                     m_ok=jnp.zeros((), bool))
+                     M=(M0 if use_direct
+                        else jnp.zeros((0, 0), ftype)),
+                     m_q=jnp.asarray(1e9, ftype))
         final = lax.while_loop(cond, body, init)
         # loop exhausted without done -> TooManyIterations (or success if configured)
         exhausted = jnp.logical_not(final.done)
@@ -604,6 +617,8 @@ def build_fused_solve(nm, engine):
             final.n_broad_rb.astype(jnp.float32),
             final.n_pair_rb.astype(jnp.float32),
         ])
-        return final.u, packed, final.counts_max
+        # final.M rides back to the host HANDLE (never copied off-device):
+        # the next solve's warm Newton-Schulz seed
+        return final.u, packed, final.counts_max, final.M
 
     return fused_solve, count_keys

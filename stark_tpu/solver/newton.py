@@ -231,7 +231,10 @@ class NewtonsMethod:
         # fits the default scoped-VMEM budget (a raised
         # xla_tpu_scoped_vmem_limit_kib masked the oversized monolithic scan
         # as a runtime kernel fault on v5e).
-        self._fused_jit = jax.jit(fn)
+        # donate the persistent preconditioner buffer (arg 7): it is
+        # consumed and returned every call — without donation each solve
+        # would copy the (3N)^2 matrix
+        self._fused_jit = jax.jit(fn, donate_argnums=(7,))
         self._fused_count_keys = keys
         return engine
 
@@ -296,38 +299,57 @@ class NewtonsMethod:
             "du_floor": jnp.asarray(1e-4, dtype),
         }
 
+        # persistent dense-inverse preconditioner handle (Newton-Schulz
+        # warm seed, fused.py): stays device-resident across steps; zeros
+        # trigger the in-program cold start on the first solve
+        if getattr(self, "_M_dev", None) is None:
+            n = 3 * (self.n_blocks + 1) \
+                if self.n_blocks <= self._direct_max_blocks else 0
+            self._M_dev = jnp.zeros((n, n), dtype)
+
         with self.logger.time("fused_solve"):
             while True:
-                u_out, packed, counts_dev = self._fused_jit(
-                    u0, data_static, friction, glob, eng_state, dhat, params)
+                u_out, packed, counts_dev, M_out = self._fused_jit(
+                    u0, data_static, friction, glob, eng_state, dhat, params,
+                    self._M_dev)
+                self._M_dev = M_out
                 # the ONE host sync per step: stats vector + the DOF vector
                 # together (u feeds the host mirrors that the accept path and
                 # constraint checks read, avoiding further pulls)
                 u_np, packed, counts = jax.device_get((u_out, packed, counts_dev))
                 overflow = False
                 keys = self._fused_count_keys
+                over_keys = []
                 if "hvp_pool" in keys:
                     live = int(counts[keys.index("hvp_pool")])
                     if live > self._pool_cap:
                         while self._pool_cap < live:
                             self._pool_cap *= 2
                         overflow = True
+                        over_keys.append(("hvp_pool", live))
                 if "direct_slots" in keys:
                     nnz = int(counts[keys.index("direct_slots")])
                     if nnz > self._slot_cap:
                         while self._slot_cap < nnz:
                             self._slot_cap *= 2
                         overflow = True
+                        over_keys.append(("direct_slots", nnz))
                 eng_kc = [(k, c) for k, c in zip(keys, counts)
                           if k not in ("hvp_deg", "hvp_hot", "hvp_pool",
                                        "direct_slots")]
-                if engine is not None and eng_kc and engine._check_overflow(
-                        [k for k, _ in eng_kc], [c for _, c in eng_kc]):
-                    overflow = True
+                if engine is not None and eng_kc:
+                    eng_over = engine._check_overflow(
+                        [k for k, _ in eng_kc], [c for _, c in eng_kc])
+                    if eng_over:
+                        overflow = True
+                        over_keys += getattr(engine, "_last_overflow", [])
                 if overflow:
                     # buffer overflow: bump caps and re-trace (the
                     # static-shape analog of dynamic pair arrays)
                     self.logger.add("fused_retraces", 1)
+                    self.output.print_with_new_line(
+                        "fused re-trace: cap overflow on %s"
+                        % (", ".join("%s=%d" % kc for kc in over_keys)))
                     self._build_fused()
                     continue
                 break

@@ -84,3 +84,64 @@ def test_hanging_cloth_16_matches_reference():
         assert dev < 2e-3, f"step {step}: max vertex deviation {dev:.3e}"
     # tight bound on the whole-trajectory deviation
     assert worst < 2e-3
+
+
+GOLDEN_SBC = os.path.join(os.path.dirname(__file__), "golden",
+                          "spinning_box_cloth_16.txt.gz")
+
+
+@pytest.mark.slow
+def test_spinning_box_cloth_16_matches_reference():
+    """Contact-ON golden parity: the BASELINE.md headline scene at 16x16
+    (examples/main.cpp:371-414 scaled down; IPC contact against a fixed
+    spinning rigid box, dt=1/30 fixed, f64). The golden is dumped by
+    tools/parity/ref_dump.cpp `spinning_box_cloth` from the reference C++
+    build. Contact stepping is lightly chaotic (barrier activation order
+    feeds back into the line search), so the accepted deviation grows with
+    step count; the early free-fall/first-contact steps carry a tight
+    bound, which is where a contact-model discrepancy would appear as an
+    immediate offset rather than accumulated drift."""
+    golden = load_golden(GOLDEN_SBC)
+    n_steps = len(golden)
+    assert n_steps == 25
+
+    s = Settings()
+    s.output.simulation_name = "parity_spinning_box_cloth"
+    s.output.enable_output = False
+    s.output.enable_frame_writes = False
+    s.device.dtype = "float64"
+    s.simulation.max_time_step_size = 1.0 / 30.0
+    s.simulation.use_adaptive_time_step = False
+    sim = Simulation(s)
+
+    from stark_tpu.models.interactions.contact import ContactGlobalParams
+
+    gp = ContactGlobalParams()
+    gp.default_contact_thickness = 0.002
+    sim.interactions.contact.set_global_params(gp)
+
+    n = 16
+    cloth = sim.presets.deformables.add_surface_grid(
+        "cloth", (0.4, 0.4), (n, n), SurfaceParams.Cotton_Fabric())
+    box = sim.presets.rigidbodies.add_box("box", 1.0, 0.08)
+    box.rigidbody.add_translation([0.0, 0.0, -0.08])
+    fix = sim.rigidbodies.add_constraint_fix(box.rigidbody)
+
+    n_verts = (n + 1) * (n + 1)
+    assert golden[0].shape == (n_verts, 3)
+
+    for step in range(n_steps):
+        t = sim.get_time()
+        fix.set_transformation([0.0, 0.0, -0.08 - 0.1 * math.sin(t)],
+                               angle_deg=90.0 * t, axis=[0.0, 0.0, 1.0])
+        assert sim.run_one_time_step()
+        x = np.asarray(cloth.point_set.get_positions())
+        dev = float(np.max(np.linalg.norm(x - golden[step], axis=1)))
+        # free fall (tight) -> first contact (the step where a contact-model
+        # error shows as an immediate offset; the set_transformation
+        # local-rotation convention fix moved this from 3.2e-3 to 9.7e-4)
+        # -> overhang drape (cloth corners whipping past the box edge are
+        # chaotic: deviations amplify to cm scale between two correct
+        # solvers; the bound only asserts the drape stays in envelope)
+        bound = 5e-4 if step < 2 else 2e-3 if step < 3 else 1e-1
+        assert dev < bound, f"step {step}: max vertex deviation {dev:.3e}"

@@ -64,6 +64,7 @@ int main(int argc, char** argv) {
         box.handler.rigidbody.add_translation({ 0.0, 0.0, -0.08 });
         auto fix = simulation.rigidbodies->add_constraint_fix(box.handler.rigidbody);
         FILE* f = std::fopen(out_path.c_str(), "w");
+        FILE* frb = std::fopen((out_path + ".rb").c_str(), "w");
         int np = (n + 1) * (n + 1);
         for (int s = 0; s < n_steps; s++) {
             double t = simulation.get_time();
@@ -71,8 +72,14 @@ int main(int argc, char** argv) {
                                    90.0 * t, { 0.0, 0.0, 1.0 });
             simulation.run_one_time_step();
             dump(f, cloth.handler.point_set, np, simulation.get_time());
+            Eigen::Vector3d bt = box.handler.rigidbody.get_translation();
+            Eigen::Quaterniond bq = box.handler.rigidbody.get_quaternion();
+            std::fprintf(frb, "%.17g %.17g %.17g %.17g %.17g %.17g %.17g\n",
+                         bt.x(), bt.y(), bt.z(),
+                         bq.w(), bq.x(), bq.y(), bq.z());
         }
         std::fclose(f);
+        std::fclose(frb);
     }
     return 0;
 }
