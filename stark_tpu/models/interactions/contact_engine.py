@@ -294,6 +294,12 @@ class ContactEngine:
                               == self.tris_all[None, :, k])
             allowed = ~(same & share)
             allowed &= ~(same & is_rigid_e[:, None] & is_rigid_t[None, :])
+            # disable_collision pairs are excluded from the intersection
+            # oracle too (reference: id.add_blacklist alongside
+            # pd.add_blacklist, EnergyFrictionalContact.cpp:114-117) —
+            # deliberately overlapping bodies (e.g. a gripper's palm and
+            # fingers) must not invalidate the state
+            allowed &= self.enabled_mat[np.ix_(em, tm)]
             self.et_allowed_dense = allowed
         else:
             self.et_allowed_dense = None
@@ -403,20 +409,24 @@ class ContactEngine:
                 if name == "m_pt":
                     # soft points near big rigid tris can capture a whole
                     # cloth region (drape on a box face) -> the extra
-                    # n_sv term when rigid tris exist
-                    h = (16 + (8 if self.n_tr else 0)) * max(self.n_sv, 64) \
+                    # n_sv term when rigid tris exist. Drape-measured
+                    # 36.7k at 32x32 (round 5): the previous 24x sizing
+                    # (32768) cost a mid-run ~3 min re-trace.
+                    h = (24 + (16 if self.n_tr else 0)) * max(self.n_sv, 64) \
                         + 64 * self.n_rv
                 elif name == "m_ee":
                     # long rigid edges run a thin exact-distance band along
-                    # the whole soft mesh: ~n_es/2 per rigid edge mid-drape
-                    h = 24 * max(self.n_es, 64) \
+                    # the whole soft mesh: ~n_es/2 per rigid edge mid-drape.
+                    # Soft-soft factor sized for the free-fall-stride broad
+                    # radius (slack_broad_max ~ 64 mm) at a crumpled state.
+                    h = 48 * max(self.n_es, 64) \
                         + self.n_er * max(64, self.n_es // 2)
                 elif name == "im_et":
                     # exact-lower-bound near-touch pairs. The bound
                     # d(seg,tri) >= d(mid,tri) - h_e is tight for short
                     # soft edges and useless for body-length rigid edges,
                     # which therefore budget full candidacy.
-                    h = 16 * max(self.n_es, 64) \
+                    h = 32 * max(self.n_es, 64) \
                         + self.n_er * max(64, self.n_ts + self.n_tr)
                 else:
                     # per-stem mid segments (grid path): a slice of the
@@ -436,7 +446,12 @@ class ContactEngine:
                     full = len(self.edges_all) ** 2
                 else:
                     full = len(self.edges_all) * max(len(self.tris_all), 1)
-                h = min(4 * self._cap(mkey), max(full, 256))
+                # the stage-B exact pass and its compaction cost scale with
+                # this cap (padded rows are still evaluated): 2x the tight
+                # mid cap covers the measured ball-bound inflation
+                # (w/m ~ 1.9-2.4x at the 32x32 drape) without doubling the
+                # exact-stage work the way 4x did
+                h = min(2 * self._cap(mkey), max(full, 256))
             elif name.startswith("g_"):
                 # spatial-hash structural caps: per-target insertion slots /
                 # per-query bucket-scan length. The scan length sizes a
@@ -1778,12 +1793,18 @@ class ContactEngine:
         """Per-block intersection geometry descriptors:
         (ikey, E, edges, T, tris, excl_fn, excl_dense)."""
 
-        def et_excl_fn(edges, tris, same_mesh_np=None, share=True):
+        def et_excl_fn(edges, tris, emesh, tmesh, same_mesh_np=None,
+                       share=True):
             """Functional edge-triangle exclusion for the grid path: shared
-            vertex (global ids coincide only within a mesh) and optional
-            same-mesh drop (rigid-rigid)."""
+            vertex (global ids coincide only within a mesh), optional
+            same-mesh drop (rigid-rigid), and disable_collision pairs (the
+            reference blacklists them in the intersection detector too,
+            EnergyFrictionalContact.cpp:114-117)."""
             e = jnp.asarray(edges, jnp.int32)
             t = jnp.asarray(tris, jnp.int32)
+            emesh_a = jnp.asarray(emesh, jnp.int32)
+            tmesh_a = jnp.asarray(tmesh, jnp.int32)
+            enab = jnp.asarray(self.enabled_mat)
             if same_mesh_np is not None:
                 em = jnp.asarray(same_mesh_np[0])
                 tm = jnp.asarray(same_mesh_np[1])
@@ -1791,7 +1812,7 @@ class ContactEngine:
                 em = tm = None
 
             def f(ce, ct):
-                ok = jnp.ones(ce.shape, bool)
+                ok = enab[emesh_a[ce], tmesh_a[ct]]
                 if share:
                     sh = jnp.zeros(ce.shape, bool)
                     for i in range(2):
@@ -1804,27 +1825,37 @@ class ContactEngine:
 
             return f
 
+        def excl_or_disabled(excl, emesh, tmesh):
+            dis = ~self.enabled_mat[np.ix_(np.asarray(emesh, int),
+                                           np.asarray(tmesh, int))]
+            return dis if excl is None else (excl | dis)
+
         # soft edges vs soft tris / rigid tris; rigid edges vs soft tris / rigid tris
         geoms = []
         if len(self.es) and len(self.ts):
             geoms.append(("i_ss", Vs, jnp.asarray(self.es), Vs, jnp.asarray(self.ts),
-                          et_excl_fn(self.es, self.ts), self.et_ss_excl))
+                          et_excl_fn(self.es, self.ts, self.es_mesh, self.ts_mesh),
+                          excl_or_disabled(self.et_ss_excl,
+                                           self.es_mesh, self.ts_mesh)))
         if len(self.es) and len(self.tr):
             geoms.append(("i_sr", Vs, jnp.asarray(self.es), Vr, jnp.asarray(self.tr),
-                          et_excl_fn(self.es, self.tr, share=False),
-                          np.zeros((len(self.es), len(self.tr)), dtype=bool)))
+                          et_excl_fn(self.es, self.tr, self.es_mesh,
+                                     self.tr_mesh, share=False),
+                          excl_or_disabled(None, self.es_mesh, self.tr_mesh)))
         if len(self.er) and len(self.ts):
             geoms.append(("i_rs", Vr, jnp.asarray(self.er), Vs, jnp.asarray(self.ts),
-                          et_excl_fn(self.er, self.ts, share=False),
-                          np.zeros((len(self.er), len(self.ts)), dtype=bool)))
+                          et_excl_fn(self.er, self.ts, self.er_mesh,
+                                     self.ts_mesh, share=False),
+                          excl_or_disabled(None, self.er_mesh, self.ts_mesh)))
         if len(self.er) and len(self.tr):
             # same-mesh rigid self-intersection cannot change; exclude same mesh
             excl = (self.et_rr_excl | (self.er_mesh[:, None] == self.tr_mesh[None, :])
                     if self.et_rr_excl is not None else None)
             geoms.append(("i_rr", Vr, jnp.asarray(self.er), Vr, jnp.asarray(self.tr),
-                          et_excl_fn(self.er, self.tr,
+                          et_excl_fn(self.er, self.tr, self.er_mesh,
+                                     self.tr_mesh,
                                      same_mesh_np=(self.er_mesh, self.tr_mesh)),
-                          excl))
+                          excl_or_disabled(excl, self.er_mesh, self.tr_mesh)))
         return geoms
 
     def has_intersection(self, dt) -> bool:

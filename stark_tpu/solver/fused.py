@@ -270,6 +270,7 @@ def build_fused_solve(nm, engine):
             n_pair_rb: jnp.ndarray    # pair-shell rebuild count (stats)
             M: jnp.ndarray            # frozen dense-inverse preconditioner
             m_q: jnp.ndarray          # last NS residual max|I - Hs Ms|
+            n_cold: jnp.ndarray       # NS cold-restart count (diagnostics)
 
         def cond(c: Carry):
             return jnp.logical_and(jnp.logical_not(c.done), c.it < params["max_iterations"])
@@ -401,17 +402,15 @@ def build_fused_solve(nm, engine):
                 # and keeps CG at a handful of iterations instead of the
                 # 30+/Newton a stale frozen inverse caused.
                 def _refresh_m(_):
-                    dtab = ev.direct_tables(conn_cat, slot_cap)
-                    M, q = ev.ns_refresh(c.M, H_cat, dtab)
-                    return M, q, dtab[3].astype(jnp.int32)
+                    return ev.ns_refresh(c.M, conn_cat, H_cat)
 
                 need_m = need_p | (c.m_q > 0.5)
-                M, m_q, n_slots = lax.cond(
+                M, m_q, was_cold = lax.cond(
                     need_m,
                     _refresh_m,
-                    lambda _: (c.M, c.m_q, jnp.zeros((), jnp.int32)),
+                    lambda _: (c.M, c.m_q, jnp.zeros((), bool)),
                     operand=None)
-                counts_max = counts_max.at[direct_slot].max(n_slots)
+                n_cold = c.n_cold + was_cold.astype(jnp.int32)
                 D = ev.diag_bucket(conn_cat, H_cat)
                 Dinv = assembly.precondition_inverse(D)
                 m_good = m_q < 0.5
@@ -572,7 +571,7 @@ def build_fused_solve(nm, engine):
                 du_prev=reach_du, force_rb=force_rb,
                 n_broad_rb=c.n_broad_rb + need_b.astype(jnp.int32),
                 n_pair_rb=c.n_pair_rb + need_p.astype(jnp.int32),
-                M=M, m_q=m_q,
+                M=M, m_q=m_q, n_cold=n_cold,
             )
 
         z32 = jnp.zeros((), jnp.int32)
@@ -590,7 +589,7 @@ def build_fused_solve(nm, engine):
                      n_broad_rb=z32, n_pair_rb=z32,
                      M=(M0 if use_direct
                         else jnp.zeros((0, 0), ftype)),
-                     m_q=jnp.asarray(1e9, ftype))
+                     m_q=jnp.asarray(1e9, ftype), n_cold=z32)
         final = lax.while_loop(cond, body, init)
         # loop exhausted without done -> TooManyIterations (or success if configured)
         exhausted = jnp.logical_not(final.done)
@@ -616,6 +615,8 @@ def build_fused_solve(nm, engine):
             final.E0.astype(jnp.float32), final.du_prev.astype(jnp.float32),
             final.n_broad_rb.astype(jnp.float32),
             final.n_pair_rb.astype(jnp.float32),
+            final.m_q.astype(jnp.float32),
+            final.n_cold.astype(jnp.float32),
         ])
         # final.M rides back to the host HANDLE (never copied off-device):
         # the next solve's warm Newton-Schulz seed

@@ -271,7 +271,25 @@ class NewtonsMethod:
                 engine.model.contact_thicknesses)))
             slack_pair = 0.5 * dhat_max
             slack_broad_min = 2.0 * dhat_max
-            slack_broad_max = 4.0 * dhat_max
+            # The broad radius must cover a typical Newton stride
+            # (2.5*dt*|du|): capping it at 4*dhat (16 mm at the default
+            # thickness) forced the [max] stage to clamp EVERY free-fall/
+            # impact stride to a 7 mm budget — measured 11-16 broad
+            # rebuilds (~60 ms each) per step and 2-4x the Newton
+            # iterations. On the dense path the radius only costs
+            # candidate COUNT (caps bump adaptively; far shells are
+            # empty), so let it grow to free-fall stride scale. The grid
+            # path keeps the tight cap: its per-row candidate slots (c_*)
+            # scale with radius^3.
+            # 8*dhat (32 mm at default thickness) balances the two
+            # failure modes: 4*dhat forced [max]-clamped 7 mm strides
+            # (11-16 broad rebuilds/step measured); 16*dhat made every
+            # in-plane primitive of a FLAT cloth a candidate of ~100
+            # others (mid-list caps overflowed -> retrace storm).
+            if engine.dense_pt and engine.dense_ee:
+                slack_broad_max = max(8.0 * dhat_max, 0.032)
+            else:
+                slack_broad_max = 4.0 * dhat_max
         else:
             eng_state = {}
             dhat = jnp.zeros((0, 0), dtype)
@@ -376,6 +394,9 @@ class NewtonsMethod:
         if len(packed) > 13:
             self.logger.add_and_append("broad_rebuilds", int(packed[12]))
             self.logger.add_and_append("pair_rebuilds", int(packed[13]))
+        if len(packed) > 15:
+            self.logger.append("ns_q", float(packed[14]))
+            self.logger.add_and_append("ns_cold_restarts", int(packed[15]))
         if st.n_hessians > 0:
             st.projected_hessians_ratio = st.n_projected_hessians / st.n_hessians
         self.logger.add_and_append("newton_iterations", st.newton_iterations)

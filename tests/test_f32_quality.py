@@ -43,6 +43,85 @@ def _make(dtype: str):
     return sim
 
 
+def _make_grasp(dtype: str):
+    """Compact simple_grasp (examples/scenes.py:272, main.cpp:416-523):
+    velocity/force-controlled rigid fingers pinching a soft cube with
+    sticking Coulomb friction and gravity on — live friction rows AND
+    rigid-soft coupling from the first steps, the regime the 12x12 drape
+    gate never exercises (round-4 weak item 3)."""
+    import math
+
+    from stark_tpu import Settings, Simulation
+    from stark_tpu.models.interactions.contact import ContactGlobalParams
+    from stark_tpu.presets.presets import VolumeParams
+
+    s = Settings()
+    s.output.simulation_name = "grasp_f32_gate"
+    s.output.enable_output = False
+    s.output.enable_frame_writes = False
+    s.device.dtype = dtype
+    s.simulation.max_time_step_size = DT
+    s.simulation.use_adaptive_time_step = False
+    s.simulation.gravity = (0.0, 0.0, -10.0)
+    sim = Simulation(s)
+    n, d = 3, 0.2
+    hd, gap = d / 2, 0.02
+    sim.interactions.contact.set_global_params(
+        ContactGlobalParams().set_default_contact_thickness(0.001)
+        .set_friction_stick_slide_threshold(0.001)
+        .set_min_contact_stiffness(1e7))
+    obj_params = VolumeParams.Soft_Rubber()
+    obj_params.inertia.density = 1.0 / d ** 3
+    obj_params.strain.elasticity_only = True
+    obj_params.strain.youngs_modulus = 2e3
+    obj = sim.presets.deformables.add_volume_grid(
+        "deformable", (d,) * 3, (n,) * 3, obj_params)
+    hand = sim.presets.rigidbodies.add_box("hand", 1.0, (3 * d,) * 3)
+    hand.rigidbody.set_translation((0.0, -(3 * hd + hd + gap), 0.0))
+    fingers_size = (0.5 * d, 2 * d, 2 * d)
+    left = sim.presets.rigidbodies.add_box("finger", 1.0, fingers_size)
+    left.rigidbody.set_translation((-(hd + 0.5 * hd + gap), -gap, 0.0))
+    right = sim.presets.rigidbodies.add_box("finger", 1.0, fingers_size)
+    right.rigidbody.set_translation((hd + 0.5 * hd + gap, -gap, 0.0))
+    c = sim.interactions.contact
+    c.disable_collision(hand.contact, left.contact)
+    c.disable_collision(hand.contact, right.contact)
+    sim.rigidbodies.add_constraint_fix(hand.rigidbody)
+    sim.rigidbodies.add_constraint_prismatic_press(
+        hand.rigidbody, left.rigidbody, (0, 0, 0), (1, 0, 0), 1.0, 5.0)
+    sim.rigidbodies.add_constraint_prismatic_press(
+        hand.rigidbody, right.rigidbody, (0, 0, 0), (1, 0, 0), -1.0, 5.0)
+    c.set_friction(left.contact, obj.contact, 1.05)
+    c.set_friction(right.contact, obj.contact, 1.05)
+    sim.stark._initialize()
+    return sim
+
+
+@pytest.mark.slow
+def test_f32_grasp_single_step_matches_f64(tmp_path):
+    """Per-step f32-vs-f64 gate with LIVE friction + rigid coupling: the
+    f32 noise-floor convergence criteria must accept states within one
+    step's rounding envelope of the f64 minimizer while the fingers press
+    and friction holds the cube against gravity."""
+    sim64 = _make_grasp("float64")
+    sim32 = _make_grasp("float32")
+    path = str(tmp_path / "grasp_state.npz")
+    devs = []
+    for _ in range(12):
+        checkpoint.save_state(sim64, path)
+        checkpoint.load_state(sim32, path)
+        assert sim64.run_one_time_step()
+        assert sim32.run_one_time_step()
+        x64 = sim64._dyn.host_x_all()
+        x32 = sim32._dyn.host_x_all()
+        devs.append(np.max(np.abs(x64 - x32)))
+    devs = np.asarray(devs)
+    # friction-anchored contact: an f32 acceptance that dropped or
+    # mis-lagged a friction row would slip by O(dt * g * dt) ~ 3e-3 m;
+    # the rounding envelope of a correct accept is ~1e-5 m here
+    assert np.max(devs) < 5e-4, f"per-step grasp f32 deviation: {devs}"
+
+
 @pytest.mark.slow
 def test_f32_single_step_matches_f64(tmp_path):
     sim64 = _make("float64")

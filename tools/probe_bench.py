@@ -31,10 +31,15 @@ for i in range(n_steps):
     nm = sim.stark.newton
     pairs = nm.live_contact_pairs() if nm is not None else -1
     cg = nm.get_last_solve_stats().cg_iterations if nm is not None else -1
+    nsq = logger.series.get("ns_q", [-1.0])[-1]
+    ncold = logger.get_int("ns_cold_restarts")
+    brb = logger.get_stats("broad_rebuilds").total
+    prb = logger.get_stats("pair_rebuilds").total
     print(f"[probe] step {i:3d} wall={te-ts:8.3f}s "
           f"solve={solve_t-prev_solve:7.3f}s newton={nit-prev_newton:4.0f} "
-          f"cg={cg:4d} retraces={retr} pairs={pairs} t={sim.get_time():.4f}",
-          flush=True)
+          f"cg={cg:4d} retraces={retr} pairs={pairs} "
+          f"rb={brb:.0f}/{prb:.0f} nsq={nsq:.2e} cold={ncold} "
+          f"t={sim.get_time():.4f}", flush=True)
     prev_newton = nit
     prev_solve = solve_t
 print(f"[probe] total {time.perf_counter()-t0:.1f}s", flush=True)
