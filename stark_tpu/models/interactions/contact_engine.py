@@ -32,6 +32,7 @@ from ... import maths
 from ...collision import broad_phase as bp
 from ...collision import narrow_phase as nph
 from ...ops.compaction import compact_indices
+from ...utils import caps_cache
 
 # dense-pair threshold: blocks with more candidate pairs than this use the
 # spatial-hash broad phase (O(N*k)) instead of the dense masked grid (O(N^2)).
@@ -304,8 +305,13 @@ class ContactEngine:
         else:
             self.et_allowed_dense = None
 
-        # initial capacities
+        # initial capacities; learned caps from prior runs of the same
+        # mesh signature pre-empt the bump->retrace chain (caps_cache)
         self._caps = {}
+        self._cap_sig = "ce-%d-%d-%d-%d-%d-%d" % (
+            len(self.sv_gid), len(self.rv_body), len(self.es),
+            len(self.er), len(self.ts), len(self.tr))
+        self._learned_caps = caps_cache.load(self._cap_sig)
 
     # ------------------------------------------------------------------
     # world positions (traced)
@@ -528,7 +534,9 @@ class ContactEngine:
             cap = 16 if name.startswith(("c_", "cf_", "i_")) else 256
             while cap < h:
                 cap *= 2
-            self._caps[name] = cap
+            # learned caps (prior runs of this mesh signature) pre-empt
+            # the overflow->retrace ladder
+            self._caps[name] = max(cap, self._learned_caps.get(name, 0))
         return self._caps[name]
 
     # ------------------------------------------------------------------
@@ -1478,6 +1486,7 @@ class ContactEngine:
         counts_np = np.asarray(counts_arr)
         overflow = False
         self._last_overflow = []
+        near_full = []
         for k, c in zip(keys, counts_np):
             if k.startswith("n_live_"):  # metric, not a capacity
                 continue
@@ -1486,6 +1495,18 @@ class ContactEngine:
                 self._caps[k] = max(2 * self._caps[k], int(1.5 * c))
                 overflow = True
                 self._last_overflow.append((k, c))
+            elif 4 * c > 3 * self._caps[k]:
+                near_full.append((k, c))
+        if overflow:
+            # a retrace is already being paid: proactively bump every cap
+            # at >=75% occupancy too, collapsing the serial one-key-per-
+            # retrace discovery chain (each retrace costs a ~100 s remote
+            # TPU compile) into a single rebuild
+            for k, c in near_full:
+                self._caps[k] *= 2
+                self._last_overflow.append((k, c))
+            caps_cache.store(self._cap_sig,
+                             {k: self._caps[k] for k, _ in self._last_overflow})
         return overflow
 
     def refresh_contacts(self, dt):

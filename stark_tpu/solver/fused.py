@@ -420,7 +420,7 @@ def build_fused_solve(nm, engine):
                     qj = assembly.apply_preconditioner(Dinv, r)
                     return jnp.where(m_good, qd, qj)
             else:
-                M, m_q = c.M, c.m_q
+                M, m_q, n_cold = c.M, c.m_q, c.n_cold
                 D = ev.diag_bucket(conn_cat, H_cat)
                 Dinv = assembly.precondition_inverse(D)
                 Minv = lambda r: assembly.apply_preconditioner(Dinv, r)

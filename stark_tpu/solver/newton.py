@@ -27,6 +27,7 @@ import numpy as np
 from ..core.callbacks import SolverCallbacks
 from ..core.logger import Logger, OutputSink
 from ..core.settings import LinearSolver, NewtonSettings, ProjectionToPD, Verbosity
+from ..utils import caps_cache
 from . import assembly, project
 from .pcg import solve_pcg
 from .potential import PotentialFamily
@@ -130,6 +131,16 @@ class NewtonsMethod:
         # a few thousand blocks (cholesky is O(n^3) past that)
         self._direct_max_blocks = 2048
         self._slot_cap = max(65536, 32 * n_blocks)
+        # learned caps from prior runs of the same scene signature
+        # (caps_cache): start at the bumped values so the fused program
+        # traces once instead of walking the overflow->retrace ladder
+        if get_engine is not None and get_engine() is not None:
+            self._cap_sig = get_engine()._cap_sig
+        else:
+            self._cap_sig = "nm-%d" % n_blocks
+        learned = caps_cache.load(self._cap_sig)
+        self._pool_cap = max(self._pool_cap, learned.get("hvp_pool", 0))
+        self._slot_cap = max(self._slot_cap, learned.get("direct_slots", 0))
         # motion prior (max |du| of the last accepted solve) seeding the
         # frozen-candidate slack at iteration 0 (fused.py)
         self._du_prior = 1.0
@@ -363,7 +374,11 @@ class NewtonsMethod:
                         over_keys += getattr(engine, "_last_overflow", [])
                 if overflow:
                     # buffer overflow: bump caps and re-trace (the
-                    # static-shape analog of dynamic pair arrays)
+                    # static-shape analog of dynamic pair arrays); remember
+                    # the bumped values so later runs trace once
+                    caps_cache.store(self._cap_sig, {
+                        "hvp_pool": self._pool_cap,
+                        "direct_slots": self._slot_cap})
                     self.logger.add("fused_retraces", 1)
                     self.output.print_with_new_line(
                         "fused re-trace: cap overflow on %s"
